@@ -1,0 +1,196 @@
+"""On-device chord-progression and key analysis.
+
+This is the TPU re-architecture of the reference's slowest component: there,
+chord extraction round-trips each candidate through pretty_midi -> music21
+(Krumhansl key finding + chordify + Roman-numeral analysis) in a 4-process
+CPU pool *inside the SCG loop* (guided_diffusion/gaussian_diffusion.py:
+1361-1379, music_rule_guidance/piano_roll_to_chord.py:307-359).
+
+Here the same analysis is a batched tensor program that runs on the TPU
+alongside the denoiser:
+
+  1. Key finding = Pearson correlation of the excerpt's duration-weighted
+     pitch-class distribution against the 24 rotated Krumhansl-Kessler
+     profiles (the same algorithm music21's ``analyze('key')`` implements,
+     http://rnhart.net/articles/key-finding/).
+  2. Chord root per 1.28 s window = template matching of the window's chroma
+     against major/minor/diminished triads at all 12 roots.
+  3. Roman-numeral tag (0 = null, 1-7 = scale degree) = root's interval from
+     the tonic mapped through a fixed degree table — matching the figure ->
+     integer collapse of ``chord_tag_num`` (piano_roll_to_chord.py:278-299),
+     which keeps only the numeral letter (I..VII) of the detected chord.
+
+Exact music21 agreement is impossible without symbolic spelling; this is a
+deliberate re-expression (SURVEY.md §7 "hard parts" #1).  What SCG needs is
+a *consistent* tag function: targets and candidates are scored by the same
+program, so the 0-1 selection loss semantics are preserved.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import BACKGROUND_THRESHOLD, OFF
+from .tensor_rules import piano_like
+
+# Key-name -> index table (reference: piano_roll_to_chord.py:15-18).
+KEY_DICT = {
+    "D major": 0, "g minor": 1, "B- major": 2, "G major": 3, "d minor": 4,
+    "c# minor": 5, "F major": 6, "E- major": 7, "e minor": 8, "f# minor": 9,
+    "C major": 10, "F# major": 11, "g# minor": 12, "A major": 13,
+    "a minor": 14, "B major": 15, "A- major": 16, "b- minor": 17,
+    "E major": 18, "c minor": 19, "b minor": 20, "e- minor": 21,
+    "f minor": 22, "C# major": 23, "no key": 24,
+}
+IND2KEY = {v: k for k, v in KEY_DICT.items()}
+
+# (pitch class, mode) -> KEY_DICT index; music21's enharmonic spellings.
+_MAJOR_PC2KEY = [10, 23, 0, 7, 18, 6, 11, 3, 16, 13, 2, 15]   # C C# D Eb E F F# G Ab A Bb B
+_MINOR_PC2KEY = [19, 5, 4, 21, 8, 22, 9, 1, 12, 14, 17, 20]   # c c# d eb e f f# g g# a bb b
+
+# Krumhansl-Kessler key profiles.
+_KK_MAJOR = np.array(
+    [6.35, 2.23, 3.48, 2.33, 4.38, 4.09, 2.52, 5.19, 2.39, 3.66, 2.29, 2.88]
+)
+_KK_MINOR = np.array(
+    [6.33, 2.68, 3.52, 5.38, 2.60, 3.53, 2.54, 4.75, 3.98, 2.69, 3.34, 3.17]
+)
+
+# Interval-from-tonic (semitones) -> Roman numeral degree 1..7.  Diatonic
+# roots map exactly; chromatic roots take the nearest conventional numeral
+# (bIII/bVI/bVII flat side, #IV sharp side) — chord_tag_num ignores
+# accidentals, so only the letter matters.
+_SEMITONE2DEGREE = np.array([1, 2, 2, 3, 3, 4, 4, 5, 6, 6, 7, 7])
+
+_WINDOW_COLS = 128  # 1.28 s at fs=100
+
+
+def _build_key_profiles() -> np.ndarray:
+    """(24, 12) matrix: rows 0-11 major keys by tonic pc, 12-23 minor."""
+    profiles = np.zeros((24, 12))
+    for tonic in range(12):
+        profiles[tonic] = np.roll(_KK_MAJOR, tonic)
+        profiles[12 + tonic] = np.roll(_KK_MINOR, tonic)
+    return profiles
+
+
+def _build_triad_templates() -> np.ndarray:
+    """(36, 12) binary triads: [12 major, 12 minor, 12 diminished] by root."""
+    templates = np.zeros((36, 12))
+    for root in range(12):
+        for i, third in enumerate([4, 3, 3]):         # maj, min, dim thirds
+            fifth = 7 if i < 2 else 6
+            row = i * 12 + root
+            templates[row, root] = 1.0
+            templates[row, (root + third) % 12] = 1.0
+            templates[row, (root + fifth) % 12] = 1.0
+    return templates
+
+
+_KEY_PROFILES = _build_key_profiles()
+_TRIADS = _build_triad_templates()
+# Key index per profile row, degree tables laid out for gather.
+_PROFILE_KEYIDX = np.array(_MAJOR_PC2KEY + _MINOR_PC2KEY)
+
+
+def _active_notes(piano_roll: jnp.ndarray) -> jnp.ndarray:
+    """(B,128,L) binary active-note indicator from a normalized roll."""
+    roll = piano_roll[:, 0, :, :]
+    roll = piano_like(roll[:, None])[:, 0]
+    roll = jnp.where(roll < BACKGROUND_THRESHOLD, OFF, roll)
+    roll = (roll + 1.0) / 2.0
+    return jnp.where(roll >= 1e-2, 1.0, 0.0)
+
+
+def _chroma(active: jnp.ndarray) -> jnp.ndarray:
+    """Fold a (B, 128, L) activity tensor into (B, 12, L) chroma."""
+    pc = jnp.arange(128) % 12
+    return jax.vmap(
+        lambda a: jax.ops.segment_sum(a, pc, num_segments=12), in_axes=0
+    )(active)
+
+
+def _pearson(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise Pearson correlation between (..., 12) vectors."""
+    xm = x - x.mean(axis=-1, keepdims=True)
+    ym = y - y.mean(axis=-1, keepdims=True)
+    num = (xm * ym).sum(axis=-1)
+    den = jnp.sqrt((xm**2).sum(axis=-1) * (ym**2).sum(axis=-1)) + 1e-12
+    return num / den
+
+
+def classify_keys(piano_roll: jnp.ndarray):
+    """Krumhansl-Schmuckler key finding on the whole excerpt.
+
+    Returns (key_index (B,), correlation (B,)) where key_index follows
+    KEY_DICT (24 == "no key" for an empty roll).
+    """
+    active = _active_notes(piano_roll)
+    chroma = _chroma(active).sum(axis=-1)                     # (B, 12)
+    profiles = jnp.asarray(_KEY_PROFILES)                     # (24, 12)
+    corr = _pearson(chroma[:, None, :], profiles[None, :, :])  # (B, 24)
+    best = jnp.argmax(corr, axis=-1)                          # (B,)
+    best_corr = jnp.take_along_axis(corr, best[:, None], axis=-1)[:, 0]
+    key_idx = jnp.asarray(_PROFILE_KEYIDX)[best]
+    is_empty = chroma.sum(axis=-1) < 0.5
+    key_idx = jnp.where(is_empty, KEY_DICT["no key"], key_idx)
+    best_corr = jnp.where(is_empty, 0.0, best_corr)
+    return key_idx, best_corr, best  # best = profile row (tonic pc + mode)
+
+
+def get_chords(
+    piano_roll: jnp.ndarray,
+    given_key=None,
+    fs: int = 100,
+    window_size: float = 1.28,
+    return_key: bool = False,
+):
+    """Roman-numeral chord tags per `window_size` window.
+
+    Mirrors music_rules.get_chords / piano_roll_to_chords semantics:
+    output (B, num_windows) int32 tags in [0, 7]; optionally the detected
+    key index and its correlation coefficient.
+
+    ``given_key``: optional (tonic_pc + 12*is_minor) int or (B,) array to
+    skip key detection (reference's ``given_key`` string argument).
+    """
+    window_cols = int(round(window_size * fs))
+    active = _active_notes(piano_roll)                       # (B,128,L)
+    length = active.shape[-1]
+    num_windows = length // window_cols
+    active = active[..., : num_windows * window_cols]
+
+    key_idx, key_corr, profile_row = classify_keys(piano_roll)
+    if given_key is not None:
+        profile_row = jnp.broadcast_to(
+            jnp.asarray(given_key, dtype=jnp.int32), profile_row.shape
+        )
+
+    # Per-window chroma: (B, 12, W)
+    chroma_t = _chroma(active)                               # (B,12,L')
+    chroma_w = chroma_t.reshape(
+        chroma_t.shape[0], 12, num_windows, window_cols
+    ).sum(axis=-1)                                           # (B,12,W)
+    chroma_w = jnp.swapaxes(chroma_w, 1, 2)                  # (B,W,12)
+
+    # Triad template match: normalize both, dot product.
+    triads = jnp.asarray(_TRIADS)                            # (36,12)
+    triads_n = triads / jnp.linalg.norm(triads, axis=-1, keepdims=True)
+    cn = chroma_w / (jnp.linalg.norm(chroma_w, axis=-1, keepdims=True) + 1e-12)
+    scores = jnp.einsum("bwc,tc->bwt", cn, triads_n)         # (B,W,36)
+    best_triad = jnp.argmax(scores, axis=-1)                 # (B,W)
+    root_pc = best_triad % 12
+
+    tonic_pc = profile_row % 12
+    interval = (root_pc - tonic_pc[:, None]) % 12
+    degree = jnp.asarray(_SEMITONE2DEGREE)[interval]         # (B,W)
+
+    empty = chroma_w.sum(axis=-1) < 0.5
+    no_key = (key_idx == KEY_DICT["no key"])[:, None] if given_key is None else False
+    tags = jnp.where(empty | no_key, 0, degree).astype(jnp.int32)
+
+    if return_key:
+        return tags, key_idx, key_corr
+    return tags
