@@ -1,0 +1,200 @@
+"""Benchmark: 10.24 s SCG all-rules generation throughput on one chip.
+
+Measures the BASELINE.json headline: excerpts/min/chip for the flagship
+config (scripts/configs/cond_table/all/scg_classifier_all.yml semantics:
+DiTRotary_XL_8 denoiser, k=16 SCG candidates, pitch-hist + note-density +
+chord rules scored on-device, 3 latent classifiers for classifier guidance,
+KL-VAE f8 decode inside the loop, DDPM-1000 with guidance on t<750).
+
+Method: the per-step work is shape-identical across the chain, so we time a
+respaced 40-step chain with the same 3:1 guided:plain ratio (30 guided / 10
+plain) and extrapolate linearly to the full 750/250 split. Weights are
+random — throughput does not depend on weight values.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is a FLOP-model estimate of the PyTorch reference on one A100:
+identical per-step FLOPs at 312 TFLOP/s bf16 x 40% MFU, *ignoring* its
+host-side chord multiprocessing pool and per-step host sync (i.e., a
+generous upper bound on reference speed).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+BATCH = 4
+K = 16
+FULL_GUIDED, FULL_PLAIN = 750, 250
+BENCH_GUIDED, BENCH_PLAIN = 30, 10
+
+
+def build():
+    from rule_guided_music_tpu.diffusion.guidance import (
+        CondFnSpec,
+        make_grad_cond_fn,
+        make_model_fn,
+    )
+    from rule_guided_music_tpu.diffusion.latent import make_decode_fn
+    from rule_guided_music_tpu.diffusion.sampling import (
+        GuidanceConfig,
+        SCGConfig,
+        SamplerConfig,
+        sample_loop,
+    )
+    from rule_guided_music_tpu.diffusion.schedule import make_schedule
+    from rule_guided_music_tpu.models import AutoencoderKL, DiT_models
+
+    dtype = jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+
+    model = DiT_models["DiTRotary_XL_8"](
+        input_size=(128, 16), in_channels=4, num_classes=3,
+        learn_sigma=False, dtype=dtype,
+    )
+    x0 = jnp.zeros((BATCH, 4, 128, 16))
+    t0 = jnp.zeros((BATCH,))
+    y0 = jnp.zeros((BATCH,), dtype=jnp.int32)
+    params = model.init(rng, x0, t0, y0)
+
+    vae = AutoencoderKL(dtype=dtype)
+    vae_params = vae.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 3, 128, 128)),
+        rng=jax.random.PRNGKey(2),
+    )
+
+    def vae_decode(z):
+        return vae.apply(vae_params, z, method=AutoencoderKL.decode)
+
+    decode_fn = make_decode_fn(vae_decode, scale_factor=1.2465)
+
+    # 3 classifiers: pitch (12-dim regressor), nd (16-dim), chord (dual head)
+    classifiers = []
+    for name, num_classes, chord in [
+        ("DiTRotary-S/8-cls", 12, False),
+        ("DiTRotary-S/8-cls", 16, False),
+        ("DiTRotary-S/8-chord-cls", 8, True),
+    ]:
+        cls_model = DiT_models[name](
+            input_size=(128, 16), in_channels=4, num_classes=num_classes,
+            dtype=dtype,
+        )
+        cls_params = cls_model.init(jax.random.PRNGKey(3), x0, t0)
+        classifiers.append(
+            (lambda p, m: (lambda x, t: m.apply(p, x, t)))(cls_params, cls_model)
+        )
+
+    specs = [
+        CondFnSpec(fn="grad_nn_zt_mse", rule_name="pitch_hist", scale=400.0,
+                   classifier=classifiers[0]),
+        CondFnSpec(fn="grad_nn_zt_mse", rule_name="note_density", scale=10.0,
+                   classifier=classifiers[1]),
+        CondFnSpec(fn="grad_nn_zt_chord", rule_name="chord_progression",
+                   scale=10.0, classifier=classifiers[2]),
+    ]
+    cond_fn = make_grad_cond_fn(specs)
+
+    model_fn = make_model_fn(
+        lambda x, t, y: model.apply(params, x, t, y),
+        num_classes=3, class_cond=True,
+    )
+
+    steps = BENCH_GUIDED + BENCH_PLAIN
+    tables = make_schedule("linear", 1000, timestep_respacing=str(steps)).tables()
+    config = SamplerConfig(
+        sampler="ddpm",
+        guidance=GuidanceConfig(
+            method="classifier_guidance", schedule=True,
+            t_start=BENCH_GUIDED, t_end=0, interval=1,
+        ),
+        scg=SCGConfig(
+            num_samples=K,
+            weights=(("pitch_hist", 40.0), ("note_density", 1.0),
+                     ("chord_progression", 1.0)),
+        ),
+    )
+
+    rules = {
+        "pitch_hist": jnp.ones((BATCH, 12)) / 12.0,
+        "note_density": jnp.ones((BATCH, 16)) * 2.0,
+        "chord_progression": jnp.ones((BATCH, 8), dtype=jnp.int32),
+    }
+    y = jnp.zeros((BATCH,), dtype=jnp.int32) + 1
+
+    def run(rng):
+        sample, _ = sample_loop(
+            rng, model_fn, (BATCH, 4, 128, 16), tables, config,
+            y=y, rules=rules, cond_fn=cond_fn, decode_fn=decode_fn,
+        )
+        return sample
+
+    denoiser_step = jax.jit(
+        lambda x, t, y: model.apply(params, x, t, y)
+    )
+    return jax.jit(run), denoiser_step
+
+
+def main():
+    run, denoiser_step = build()
+
+    # --- full guided chain (respaced) -----------------------------------
+    sample = run(jax.random.PRNGKey(0))
+    sample.block_until_ready()  # compile + warmup
+    t0 = time.perf_counter()
+    sample = run(jax.random.PRNGKey(1))
+    sample.block_until_ready()
+    bench_wall = time.perf_counter() - t0
+
+    full_wall = bench_wall * (FULL_GUIDED + FULL_PLAIN) / (BENCH_GUIDED + BENCH_PLAIN)
+    excerpts_per_min = BATCH * 60.0 / full_wall
+
+    # --- bare denoiser per-step latency ----------------------------------
+    x = jnp.zeros((BATCH, 4, 128, 16))
+    t = jnp.zeros((BATCH,))
+    y = jnp.zeros((BATCH,), dtype=jnp.int32)
+    denoiser_step(x, t, y).block_until_ready()
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = denoiser_step(x, t, y)
+    out.block_until_ready()
+    denoiser_ms = (time.perf_counter() - t0) / reps * 1000
+
+    # --- reference FLOP-model baseline (A100, generous) -------------------
+    # per guided step: (1+K)*B denoiser fwd + K*B*8 VAE chunk decodes
+    #                  + 3 classifier fwd+bwd on B
+    dit_flops = 2 * 675e6 * 256                      # per example fwd
+    vae_dec_flops = 75e9                             # per 128x128 chunk decode
+    cls_flops = 3 * 2 * 33e6 * 257 * 3               # 3 classifiers fwd+bwd
+    guided_step = (
+        (1 + K) * BATCH * dit_flops
+        + K * BATCH * 8 * vae_dec_flops
+        + BATCH * cls_flops
+    )
+    plain_step = BATCH * dit_flops + BATCH * cls_flops
+    total_flops = FULL_GUIDED * guided_step + FULL_PLAIN * plain_step
+    a100_flops_per_s = 312e12 * 0.40
+    ref_wall = total_flops / a100_flops_per_s
+    ref_excerpts_per_min = BATCH * 60.0 / ref_wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "excerpts/min/chip (10.24s SCG all-rules, k=16, "
+                          "DDPM-1000, denoiser_step_ms="
+                          f"{denoiser_ms:.1f})",
+                "value": round(excerpts_per_min, 4),
+                "unit": "excerpts/min/chip",
+                "vs_baseline": round(excerpts_per_min / ref_excerpts_per_min, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

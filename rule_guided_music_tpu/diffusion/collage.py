@@ -1,0 +1,110 @@
+"""DiffCollage: long-form score stitching via conditional-independence
+epsilon composition.
+
+Re-architecture of diff_collage/{w_img.py, condind_long.py, condind_circle.py}:
+the reference's F.unfold/F.fold become static window slicing + scatter-add,
+and the per-window denoiser calls batch into one (B*n) forward — a pure
+function the scan-based sampler treats as just another ``model_fn``.
+
+State layout matches the reference sampler contract: the long latent is
+(B, C, T_long, P) with time on axis -2 (dc_model_fn permutes to the
+worker's (C, P, time) view internally; here we fold that permute into the
+window math and call the base model directly on (B*n, C, base, P)).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+BASE_LEN = 128  # window length in latent columns (w_img.py:12)
+
+
+def linear_length(num_img: int, overlap: int, base: int = BASE_LEN) -> int:
+    return base * num_img - overlap * (num_img - 1)
+
+
+def circle_length(num_img: int, overlap: int, base: int = BASE_LEN) -> int:
+    # circle uses num_img + 1 windows over a wrapped image (condind_circle.py:8-15)
+    n = num_img + 1
+    return base * n - overlap * n
+
+
+def split_windows(x: jnp.ndarray, n: int, base: int = BASE_LEN) -> jnp.ndarray:
+    """(B, C, T_long, P) -> (B*n, C, base, P), window index fastest."""
+    b, c, t_long, p = x.shape
+    overlap = (n * base - t_long) // (n - 1)
+    assert n * base - overlap * (n - 1) == t_long, (n, base, overlap, t_long)
+    stride = base - overlap
+    wins = jnp.stack([x[:, :, i * stride:i * stride + base, :] for i in range(n)],
+                     axis=1)
+    return wins.reshape(b * n, c, base, p), overlap
+
+
+def merge_windows(
+    wins: jnp.ndarray, overlap: int, n: int, is_avg: bool = True
+) -> jnp.ndarray:
+    """(B*n, C, base, P) -> (B, C, T_long, P) by scatter-add (optionally
+    normalized by overlap counts), mirroring avg_merge_wimg."""
+    bn, c, base, p = wins.shape
+    b = bn // n
+    t_long = n * base - (n - 1) * overlap
+    stride = base - overlap
+    wins = wins.reshape(b, n, c, base, p)
+    out = jnp.zeros((b, c, t_long, p), dtype=wins.dtype)
+    count = jnp.zeros((1, 1, t_long, 1), dtype=wins.dtype)
+    for i in range(n):
+        sl = slice(i * stride, i * stride + base)
+        out = out.at[:, :, sl, :].add(wins[:, i])
+        count = count.at[:, :, sl, :].add(1.0)
+    return out / count if is_avg else out
+
+
+def make_cond_ind_eps_fn(
+    eps_fn: Callable,
+    num_img: int,
+    overlap: int,
+    circle: bool = False,
+    base: int = BASE_LEN,
+) -> Callable:
+    """Build the stitched long-score epsilon closure.
+
+    ``eps_fn(x, t, y)`` is the per-window denoiser on (N, C, base, P)
+    latents (time on axis -2). Returns a closure with the same signature on
+    (B, C, T_long, P). Linear chain: condind_long.py:24-51; circular:
+    condind_circle.py:41-84.
+    """
+    n = num_img + 1 if circle else num_img
+
+    def long_eps(x: jnp.ndarray, t: jnp.ndarray, y=None) -> jnp.ndarray:
+        if circle:
+            x_ext = jnp.concatenate([x, x[:, :, :overlap, :]], axis=2)
+        else:
+            x_ext = x
+        b = x.shape[0]
+        wins, ov = split_windows(x_ext, n, base)
+        assert ov == overlap, (ov, overlap)
+        t_rep = jnp.repeat(t, n, axis=0)
+        y_rep = jnp.repeat(y, n, axis=0) if y is not None else None
+
+        full_eps = eps_fn(wins, t_rep, y_rep)                # (B*n, C, base, P)
+        half_eps = eps_fn(wins[:, :, -overlap:, :], t_rep, y_rep)
+        half_eps = half_eps.reshape(b, n, *half_eps.shape[1:])
+        # last window's trailing overlap has no successor factor
+        half_eps = half_eps.at[:, -1].set(0.0)
+        full_eps = full_eps.reshape(b, n, *full_eps.shape[1:])
+        full_eps = full_eps.at[:, :, :, -overlap:, :].add(
+            -half_eps
+        )
+        merged = merge_windows(
+            full_eps.reshape(b * n, *full_eps.shape[2:]), overlap, n,
+            is_avg=False,
+        )
+        if circle:
+            head = (merged[:, :, :overlap, :] + merged[:, :, -overlap:, :]) / 2.0
+            return jnp.concatenate([head, merged[:, :, overlap:-overlap, :]],
+                                   axis=2)
+        return merged
+
+    return long_eps

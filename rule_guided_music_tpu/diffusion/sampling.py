@@ -1,0 +1,421 @@
+"""Whole-chain on-device samplers: DDPM / DDIM / SCG / edit in one scan.
+
+The reference runs its reverse chain as a host-side Python loop calling
+p_sample 1000 times (gaussian_diffusion.py:809-879), with SCG branching,
+classifier guidance and chord scoring crossing the host boundary every step.
+Here the ENTIRE chain — including the k-candidate SCG search and on-device
+rule scoring — compiles to a single ``jax.lax.scan``:
+
+  * per-step constants are table gathers (schedule.py), so DDPM, DDIM and
+    any respacing share one scan body;
+  * SCG (gaussian_diffusion.py:491-633) becomes a leading candidate axis of
+    size k: one (k*B)-batched denoiser call, one batched VAE decode, one
+    batched rule evaluation, one argmax — no host sync anywhere;
+  * classifier guidance / DPS (condition_mean :387-465, condition_score
+    :467-489) are jax.grad through classifiers / the denoiser+decoder;
+  * the guidance schedule (guide_schedule :1398-1400) is a traced predicate
+    driving ``lax.cond`` so unguided steps skip the SCG branch entirely;
+  * replacement-based editing (p_mean_variance :293-298, loop init
+    :841-852) is a masked x0 substitution + noised-gt chain start.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..rules.registry import FUNC_DICT, LOSS_DICT
+from . import gaussian as gd
+from .guidance import guide_schedule_mask
+from .schedule import Tables
+
+
+@dataclass(frozen=True)
+class GuidanceConfig:
+    """YAML ``guidance:`` block (scripts/configs/**) minus the cond_fn spec."""
+
+    method: str = "no_guidance"     # classifier_guidance | dps | no_guidance
+    schedule: bool = False
+    t_start: int = 750
+    t_end: int = 0
+    interval: int = 1
+    step_size: float = 1.0          # DPS step size
+    nn: bool = False                # DPS: cond_fn sees latents (True) or decoded rolls
+    vae: bool = True                # decode x0 before rule/DPS scoring
+
+
+@dataclass(frozen=True)
+class SCGConfig:
+    """YAML ``scg:`` block: branching factor + per-rule selection weights."""
+
+    num_samples: int = 16
+    weights: Tuple[Tuple[str, float], ...] = ()
+    dc_base: int = 0                # windowed selection base (latent cols); 0 = off
+
+    def weight(self, rule_name: str) -> float:
+        return dict(self.weights).get(rule_name, 1.0)
+
+
+@dataclass(frozen=True)
+class EditConfig:
+    """YAML ``edit:`` block: replacement-based excerpt editing."""
+
+    noise_level: int = 500
+    l_start: int = 0                # editable latent-time slice [l_start, l_end)
+    l_end: int = 128
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    sampler: str = "ddpm"           # ddpm | ddim
+    eta: float = 1.0                # DDIM eta (reference uses eta=1)
+    mean_type: gd.ModelMeanType = gd.ModelMeanType.EPSILON
+    var_type: gd.ModelVarType = gd.ModelVarType.FIXED_LARGE
+    clip_denoised: bool = False
+    t_end: int = 0                  # early stop (sampling.t_end)
+    guidance: Optional[GuidanceConfig] = None
+    scg: Optional[SCGConfig] = None
+    edit: Optional[EditConfig] = None
+    record: bool = False
+
+
+def _split_eps(model_output: jnp.ndarray, var_type: gd.ModelVarType) -> jnp.ndarray:
+    """The epsilon half of the model output when variance is learned."""
+    if var_type in (gd.ModelVarType.LEARNED, gd.ModelVarType.LEARNED_RANGE):
+        return jnp.split(model_output, 2, axis=1)[0]
+    return model_output
+
+
+def _bcast(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    return v.reshape(v.shape + (1,) * (ndim - v.ndim))
+
+
+def _tile(a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Repeat batch k times with candidate-major order (012012...), matching
+    the reference's expand/repeat pairing (gaussian_diffusion.py:509-517)."""
+    return jnp.concatenate([a] * k, axis=0)
+
+
+def _scg_select(
+    config: SamplerConfig,
+    tables: Tables,
+    model_fn: Callable,
+    decode_fn: Optional[Callable],
+    rules: Mapping[str, jnp.ndarray],
+    rng: jnp.ndarray,
+    mean: jnp.ndarray,
+    g_coeff: jnp.ndarray,
+    t: jnp.ndarray,
+    y: Optional[jnp.ndarray],
+):
+    """One SCG search step: sample k candidates, one-step rollout, score,
+    argmax (gaussian_diffusion.py:491-592)."""
+    scg = config.scg
+    k = scg.num_samples
+    b = mean.shape[0]
+    noise = jax.random.normal(rng, (k,) + mean.shape, dtype=mean.dtype)
+    candidates = mean[None] + g_coeff[None] * noise          # (k, B, C, T, P)
+    flat = candidates.reshape((k * b,) + mean.shape[1:])
+
+    t_k = _tile(t, k)
+    y_k = _tile(y, k) if y is not None else None
+    model_out = model_fn(flat, tables.model_t[t_k], y_k)
+    eps = _split_eps(model_out, config.var_type)
+    pred_xstart = gd.predict_xstart_from_eps(tables, flat, t_k, eps)
+
+    if config.edit is not None:
+        pred_xstart = pred_xstart[:, :, config.edit.l_start:config.edit.l_end, :]
+    if decode_fn is not None:
+        pred_xstart = decode_fn(pred_xstart)                 # (k*B, 3, 128, L)
+
+    record: Dict[str, jnp.ndarray] = {}
+
+    if scg.dc_base <= 0:
+        total_log_prob = 0.0
+        for rule_name, target in rules.items():
+            gen_rule = FUNC_DICT[rule_name](pred_xstart)
+            target_k = _tile(target, k)
+            log_prob = -LOSS_DICT[rule_name](gen_rule, target_k)
+            if config.record:
+                record[f"loss/{rule_name}"] = (
+                    -log_prob.reshape(k, b).max(axis=0).mean()
+                )
+            total_log_prob = total_log_prob + log_prob * scg.weight(rule_name)
+        total_log_prob = total_log_prob.reshape(k, b)
+        max_ind = jnp.argmax(total_log_prob, axis=0)         # (B,)
+        selected = candidates[max_ind, jnp.arange(b)]
+        if config.record:
+            best = jnp.take_along_axis(total_log_prob, max_ind[None], axis=0)[0]
+            record["log_prob"] = best.mean()
+            record["loss_std"] = total_log_prob.std()
+            record["loss_range"] = jnp.abs(
+                best.mean() - total_log_prob.min()
+            )
+    else:
+        # Windowed selection for DiffCollage long scores: argmax per
+        # dc_base-sized window (gaussian_diffusion.py:562-592).
+        total_length = pred_xstart.shape[-1]
+        base_pix = scg.dc_base * 8
+        rule_base = scg.dc_base // 16     # 1.28 s windows per base
+        sub_samples = []
+        for i, start in enumerate(range(0, total_length, base_pix)):
+            end = min(start + base_pix, total_length)
+            window = pred_xstart[:, :, :, start:end]
+            total_log_prob = 0.0
+            for rule_name, target in rules.items():
+                if rule_name.startswith("note_density"):
+                    half = target.shape[-1] // 2
+                    vt = target[:, :half][:, i * rule_base:min((i + 1) * rule_base, half)]
+                    hr = target[:, half:][:, i * rule_base:min((i + 1) * rule_base, half)]
+                    target_w = jnp.concatenate([vt, hr], axis=-1)
+                elif "chord" in rule_name:
+                    rl = target.shape[-1]
+                    target_w = target[:, i * rule_base:min((i + 1) * rule_base, rl)]
+                else:
+                    target_w = target
+                gen_rule = FUNC_DICT[rule_name](window)
+                log_prob = -LOSS_DICT[rule_name](gen_rule, _tile(target_w, k))
+                total_log_prob = total_log_prob + log_prob * scg.weight(rule_name)
+            total_log_prob = total_log_prob.reshape(k, b)
+            max_ind = jnp.argmax(total_log_prob, axis=0)
+            sub = candidates[max_ind, jnp.arange(b), :, start // 8:end // 8, :]
+            sub_samples.append(sub)
+        selected = jnp.concatenate(sub_samples, axis=-2)
+        if config.record:
+            record["log_prob"] = total_log_prob.max(axis=0).mean()
+            record["loss_std"] = total_log_prob.std()
+            record["loss_range"] = jnp.abs(
+                total_log_prob.max() - total_log_prob.min()
+            )
+
+    return selected, record
+
+
+def _empty_record(config: SamplerConfig, rules: Mapping[str, jnp.ndarray]):
+    rec = {}
+    if not config.record:
+        return rec
+    rec["log_prob"] = jnp.float32(0)
+    rec["loss_std"] = jnp.float32(0)
+    rec["loss_range"] = jnp.float32(0)
+    if config.scg is not None and config.scg.dc_base <= 0:
+        for rule_name in rules:
+            rec[f"loss/{rule_name}"] = jnp.float32(0)
+    return rec
+
+
+def _dps_mean_shift(
+    config: SamplerConfig,
+    tables: Tables,
+    model_fn: Callable,
+    decode_fn: Optional[Callable],
+    cond_fn: Callable,
+    rules,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    y,
+    pmv: gd.PMeanVar,
+):
+    """DPS guidance: differentiate log p(y | x̂0(x_t)) through the denoiser
+    (and optionally the VAE decoder), 1/sqrt(-logp) normalization
+    (gaussian_diffusion.py:415-463)."""
+    g = config.guidance
+    model_t = tables.model_t[t]
+
+    def logp_sum(xin):
+        model_out = model_fn(xin, model_t, y)
+        eps = _split_eps(model_out, config.var_type)
+        x0 = gd.predict_xstart_from_eps(tables, xin, t, eps)
+        if decode_fn is not None and not g.nn:
+            x0 = decode_fn(x0)
+        if config.edit is not None:
+            x0 = x0[:, :, config.edit.l_start:config.edit.l_end, :]
+        lp = cond_fn(x0, model_t, rules)
+        return lp.sum(), lp
+
+    gradient, log_probs = jax.grad(logp_sum, has_aux=True)(x)
+    gradient = gradient / jnp.sqrt(
+        _bcast(-log_probs, x.ndim) + 1e-12
+    )
+    if config.edit is None:
+        return pmv.mean + g.step_size * gradient
+    sl = slice(config.edit.l_start, config.edit.l_end)
+    return pmv.mean.at[:, :, sl, :].add(g.step_size * gradient[:, :, sl, :])
+
+
+def _classifier_mean_shift(
+    config: SamplerConfig,
+    tables: Tables,
+    cond_fn: Callable,
+    rules,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    pmv: gd.PMeanVar,
+):
+    """Sohl-Dickstein mean shift: mean + variance * grad log p(y|x_t)
+    (gaussian_diffusion.py:401-414)."""
+    model_t = tables.model_t[t]
+    if config.edit is None:
+        gradient = cond_fn(x, model_t, rules)
+        return pmv.mean + pmv.variance * gradient
+    sl = slice(config.edit.l_start, config.edit.l_end)
+    gradient = cond_fn(x[:, :, sl, :], model_t, rules)
+    return pmv.mean.at[:, :, sl, :].add(pmv.variance[:, :, sl, :] * gradient)
+
+
+def sample_loop(
+    rng: jnp.ndarray,
+    model_fn: Callable,
+    shape: Tuple[int, ...],
+    tables: Tables,
+    config: SamplerConfig,
+    *,
+    y: Optional[jnp.ndarray] = None,
+    rules: Optional[Mapping[str, jnp.ndarray]] = None,
+    cond_fn: Optional[Callable] = None,
+    decode_fn: Optional[Callable] = None,
+    edit_gt: Optional[jnp.ndarray] = None,
+    edit_mask: Optional[jnp.ndarray] = None,
+    noise: Optional[jnp.ndarray] = None,
+):
+    """Run the full reverse chain; returns (sample, record_dict).
+
+    ``model_fn(x, model_t, y)`` is the (possibly CFG/DiffCollage-wrapped)
+    denoiser closure. Everything is jit-compatible; wrap in jax.jit with this
+    function closed over static config.
+    """
+    rules = dict(rules or {})
+    b = shape[0]
+    num_steps = tables.num_timesteps
+    g = config.guidance
+
+    rng, init_rng = jax.random.split(rng)
+    if noise is not None:
+        x_init = noise
+        start_t = num_steps - 1
+    elif config.edit is not None:
+        nl = config.edit.noise_level
+        t0 = jnp.full((b,), nl - 1, dtype=jnp.int32)
+        acp = gd._extract(tables.alphas_cumprod, t0, len(shape))
+        x_init = jnp.sqrt(acp) * edit_gt + jnp.sqrt(1 - acp) * jax.random.normal(
+            init_rng, shape
+        )
+        start_t = nl - 1
+    else:
+        x_init = jax.random.normal(init_rng, shape)
+        start_t = num_steps - 1
+
+    ts = jnp.arange(start_t, config.t_end - 1, -1)
+
+    def step(carry, t_scalar):
+        x, rng = carry
+        rng, noise_rng, scg_rng = jax.random.split(rng, 3)
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        model_t = tables.model_t[t]
+
+        model_out = model_fn(x, model_t, y)
+        pmv = gd.p_mean_variance(
+            tables, model_out, x, t,
+            mean_type=config.mean_type, var_type=config.var_type,
+            clip_denoised=config.clip_denoised,
+            edit_mask=edit_mask, edit_gt=edit_gt,
+        )
+
+        if g is not None and g.schedule:
+            use_guidance = guide_schedule_mask(
+                t_scalar, g.t_start, g.t_end, g.interval
+            )
+        elif g is not None:
+            use_guidance = jnp.bool_(True)
+        else:
+            use_guidance = jnp.bool_(False)
+
+        # --- guided mean (classifier / DPS) -------------------------------
+        mean = pmv.mean
+        if cond_fn is not None and g is not None and config.sampler == "ddpm":
+            # With SCG active, classifier guidance applies on every step; the
+            # schedule gates only the SCG search (p_sample :691-696).
+            if g.method == "dps":
+                guided_mean = _dps_mean_shift(
+                    config, tables, model_fn, decode_fn, cond_fn, rules,
+                    x, t, y, pmv,
+                )
+            else:
+                guided_mean = _classifier_mean_shift(
+                    config, tables, cond_fn, rules, x, t, pmv
+                )
+            if config.scg is not None:
+                mean = guided_mean
+            else:
+                mean = jnp.where(use_guidance, guided_mean, pmv.mean)
+            pmv = pmv._replace(mean=mean)
+
+        if config.sampler == "ddpm":
+            g_coeff = jnp.exp(0.5 * pmv.log_variance)
+            base_mean = pmv.mean
+        else:
+            # DDIM: condition_score guidance (ddim_sample :924-925).
+            pred_xstart = pmv.pred_xstart
+            eps = pmv.eps
+            if cond_fn is not None and g is not None and g.method != "dps":
+                acp_t = gd._extract(tables.alphas_cumprod, t, x.ndim)
+                grad = cond_fn(x, model_t, rules)
+                eps_g = eps - jnp.sqrt(1 - acp_t) * grad
+                x0_g = gd.predict_xstart_from_eps(tables, x, t, eps_g)
+                mean_g, _, _ = gd.q_posterior_mean_variance(tables, x0_g, x, t)
+                take = use_guidance
+                eps = jnp.where(take, eps_g, eps)
+                pred_xstart = jnp.where(take, x0_g, pred_xstart)
+            acp = gd._extract(tables.alphas_cumprod, t, x.ndim)
+            acp_prev = gd._extract(tables.alphas_cumprod_prev, t, x.ndim)
+            sigma = (
+                config.eta
+                * jnp.sqrt((1 - acp_prev) / (1 - acp))
+                * jnp.sqrt(1 - acp / acp_prev)
+            )
+            base_mean = (
+                pred_xstart * jnp.sqrt(acp_prev)
+                + jnp.sqrt(jnp.maximum(1 - acp_prev - sigma**2, 0.0)) * eps
+            )
+            g_coeff = sigma
+
+        # --- next-state sampling (plain vs SCG search) --------------------
+        plain_noise = jax.random.normal(noise_rng, x.shape, dtype=x.dtype)
+        if config.sampler == "ddpm":
+            nonzero = (t_scalar > config.t_end).astype(x.dtype)
+        else:
+            nonzero = (t_scalar != config.t_end).astype(x.dtype)
+        plain_sample = base_mean + nonzero * g_coeff * plain_noise
+
+        if config.scg is not None:
+            def scg_branch(args):
+                rng_, mean_, coeff_ = args
+                sel, rec = _scg_select(
+                    config, tables, model_fn, decode_fn, rules,
+                    rng_, mean_, coeff_, t, y,
+                )
+                return sel, rec
+
+            def plain_branch(args):
+                rng_, mean_, coeff_ = args
+                nz = (t_scalar > config.t_end).astype(x.dtype)
+                n = jax.random.normal(rng_, mean_.shape, dtype=mean_.dtype)
+                return mean_ + nz * coeff_ * n, _empty_record(config, rules)
+
+            # At t == t_end the reference returns the bare mean (p_sample
+            # :732-733); fold that in by zeroing noise inside plain_branch
+            # and masking the SCG branch off at the boundary.
+            do_scg = use_guidance & (t_scalar > config.t_end)
+            sample, record = jax.lax.cond(
+                do_scg, scg_branch, plain_branch, (scg_rng, base_mean, g_coeff)
+            )
+        else:
+            sample, record = plain_sample, _empty_record(config, rules)
+
+        return (sample, rng), record
+
+    (final, _), records = jax.lax.scan(step, (x_init, rng), ts)
+    return final, records

@@ -1,0 +1,254 @@
+"""High-level assembly: models + guidance + sampler from args/YAML configs.
+
+This is the glue the reference spreads across scripts/sample_rule.py:40-230
+and scripts/edit.py — shared here so every CLI stays thin and the whole
+pipeline is reusable as a library.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from types import SimpleNamespace
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import sampler_config_from_yaml
+from .constants import DEFAULT_SCALE_FACTOR, NUM_CLASSES
+from .diffusion.guidance import (
+    CondFnSpec,
+    make_grad_cond_fn,
+    make_model_fn,
+    make_value_cond_fn,
+)
+from .diffusion.latent import make_decode_fn, make_encode_fn
+from .diffusion.sampling import SamplerConfig, sample_loop
+from .diffusion.schedule import make_schedule
+from .models import AutoencoderKL, DiT_models
+from .rules.registry import FUNC_DICT, LOSS_DICT
+from .rules import chord as chord_mod
+from .utils import logger
+
+
+def load_checkpoint_params(path: str, target=None):
+    """Load a params pytree saved by Orbax (or .npz fallback)."""
+    if path.endswith(".npz"):
+        flat = dict(np.load(path, allow_pickle=True))
+        import flax.traverse_util as tu
+
+        return {"params": tu.unflatten_dict(
+            {tuple(k.split("/")): v for k, v in flat.items()}
+        )}
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=target)
+
+
+@dataclass
+class DenoiserBundle:
+    model: Any
+    params: Any
+    apply_fn: Callable     # (x, t, y) -> raw output
+
+    @classmethod
+    def create(
+        cls,
+        name: str,
+        *,
+        input_size=(128, 16),
+        in_channels: int = 4,
+        num_classes: int = NUM_CLASSES,
+        learn_sigma: bool = False,
+        model_path: str = "",
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ) -> "DenoiserBundle":
+        model = DiT_models[name](
+            input_size=tuple(input_size), in_channels=in_channels,
+            num_classes=num_classes, learn_sigma=learn_sigma, dtype=dtype,
+        )
+        x = jnp.zeros((1, in_channels, *input_size))
+        t = jnp.zeros((1,))
+        y = jnp.zeros((1,), dtype=jnp.int32) if num_classes else None
+        params = model.init(jax.random.PRNGKey(seed), x, t, y)
+        if model_path:
+            params = load_checkpoint_params(model_path, target=params)
+            logger.log(f"loaded denoiser weights from {model_path}")
+        else:
+            logger.log("WARNING: no model_path given — random denoiser weights")
+        return cls(model, params, lambda x, t, y: model.apply(params, x, t, y))
+
+
+@dataclass
+class VAEBundle:
+    model: AutoencoderKL
+    params: Any
+    decode: Callable          # latent image -> long roll (scale handled)
+    encode: Callable          # long roll -> latent image
+    raw_decode: Callable      # chunk-level decode
+    raw_encode_moments: Callable
+
+    @classmethod
+    def create(
+        cls, vae_path: str = "", scale_factor: float = DEFAULT_SCALE_FACTOR,
+        dtype=jnp.bfloat16, seed: int = 1,
+    ) -> "VAEBundle":
+        vae = AutoencoderKL(dtype=dtype)
+        params = vae.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 3, 128, 128)),
+            rng=jax.random.PRNGKey(seed + 1),
+        )
+        if vae_path:
+            params = load_checkpoint_params(vae_path, target=params)
+            logger.log(f"loaded VAE weights from {vae_path}")
+        else:
+            logger.log("WARNING: no vae_path given — random VAE weights")
+
+        def raw_decode(z):
+            return vae.apply(params, z, method=AutoencoderKL.decode)
+
+        def raw_encode_moments(x):
+            return vae.apply(params, x, method=AutoencoderKL.encode_moments)
+
+        return cls(
+            model=vae,
+            params=params,
+            decode=make_decode_fn(raw_decode, scale_factor=scale_factor),
+            encode=make_encode_fn(raw_encode_moments, scale_factor=scale_factor),
+            raw_decode=raw_decode,
+            raw_encode_moments=raw_encode_moments,
+        )
+
+
+def build_classifiers(
+    classifier_config: SimpleNamespace,
+    *,
+    input_size=(128, 16),
+    in_channels: int = 4,
+    dtype=jnp.bfloat16,
+) -> List[Callable]:
+    """Instantiate the YAML cond_fn.classifiers block
+    (sample_rule.py:89-105)."""
+    classifiers = []
+    for i, name in enumerate(classifier_config.names):
+        num_classes = classifier_config.num_classes[i]
+        model = DiT_models[name](
+            input_size=tuple(input_size), in_channels=in_channels,
+            num_classes=num_classes, dtype=dtype,
+        )
+        x = jnp.zeros((1, in_channels, *input_size))
+        t = jnp.zeros((1,))
+        params = model.init(jax.random.PRNGKey(100 + i), x, t)
+        path = classifier_config.paths[i]
+        if path and os.path.exists(path):
+            params = load_checkpoint_params(path, target=params)
+            logger.log(f"loaded classifier {name} from {path}")
+        else:
+            logger.log(f"WARNING: classifier {name}: no weights at '{path}'")
+        classifiers.append(
+            (lambda p, m: (lambda x, t: m.apply(p, x, t)))(params, model)
+        )
+    return classifiers
+
+
+def build_cond_fn(config: SimpleNamespace, classifiers: Optional[List[Callable]]):
+    """Translate the YAML guidance.cond_fn block into a composite cond_fn
+    (sample_rule.py:107-117)."""
+    cond_cfg = getattr(config.guidance, "cond_fn", None)
+    if cond_cfg is None:
+        return None
+    specs = []
+    for i, fn in enumerate(cond_cfg.fns):
+        specs.append(
+            CondFnSpec(
+                fn=fn,
+                rule_name=cond_cfg.rule_names[i],
+                scale=float(cond_cfg.classifier_scales[i]),
+                classifier=classifiers[i] if classifiers else None,
+            )
+        )
+    method = getattr(config.guidance, "method", "no_guidance")
+    if method == "dps":
+        return make_value_cond_fn(specs)
+    return make_grad_cond_fn(specs)
+
+
+def resolve_given_targets(
+    target_rules: Dict[str, Any], batch_size: int
+) -> Dict[str, jnp.ndarray]:
+    """Normalize YAML-given targets: merge vertical/horizontal nd, rescale
+    pitch_hist, broadcast to the batch (sample_rule.py:170-193)."""
+    target_rules = dict(target_rules)
+    for key in list(target_rules.keys()):
+        if "vertical_nd" in key:
+            if "_hr_" in key:
+                hr_scale = int(key.split("_hr_")[-1])
+                hr_key = key.replace("vertical", "horizontal")
+                nd_name = f"note_density_hr_{hr_scale}"
+            else:
+                hr_scale = 5
+                hr_key = "horizontal_nd"
+                nd_name = "note_density"
+            horizontal = [x / hr_scale for x in target_rules[hr_key]]
+            target_rules[nd_name] = list(target_rules[key]) + horizontal
+            target_rules.pop(key)
+            target_rules.pop(hr_key)
+            break
+    out = {}
+    for key, val in target_rules.items():
+        arr = jnp.asarray(val, dtype=jnp.int32 if "chord" in key else jnp.float32)
+        if key == "pitch_hist":
+            arr = arr / (arr.sum() + 1e-12)
+        out[key] = jnp.tile(arr[None], (batch_size, 1))
+    return out
+
+
+def extract_targets_from_rolls(
+    rule_names, rolls: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Extract target rules from dataset excerpts (sample_rule.py:147-168)."""
+    out = {}
+    for name in rule_names:
+        out[name] = FUNC_DICT[name](rolls)
+    return out
+
+
+def eval_rule_loss(generated: jnp.ndarray, target_rules: Dict[str, jnp.ndarray]):
+    """Per-sample rule values + losses as a DataFrame
+    (guided_diffusion/midi_util.py:96-124 contract: columns
+    <rule>.target_rule / .gen_rule / .loss, plus key info for chords)."""
+    import pandas as pd
+
+    results = {}
+    for rule_name, rule_target in target_rules.items():
+        results[rule_name + ".target_rule"] = np.asarray(rule_target).tolist()
+        if "chord" in rule_name:
+            gen_rule, key_idx, corr = FUNC_DICT[rule_name](
+                generated, return_key=True
+            )
+            results[rule_name + ".key_str"] = [
+                chord_mod.IND2KEY[int(k)] for k in np.asarray(key_idx)
+            ]
+            results[rule_name + ".key_corr"] = np.asarray(corr).tolist()
+        else:
+            gen_rule = FUNC_DICT[rule_name](generated)
+        loss = LOSS_DICT[rule_name](gen_rule, jnp.asarray(rule_target))
+        results[rule_name + ".gen_rule"] = np.asarray(gen_rule).tolist()
+        results[rule_name + ".loss"] = np.asarray(loss).tolist()
+    return pd.DataFrame(results)
+
+
+def summarize_losses(all_results) -> "Any":
+    """summary.csv: mean/std of each .loss column (sample_rule.py:251-258)."""
+    import pandas as pd
+
+    rows = []
+    for col in [c for c in all_results.columns if ".loss" in c]:
+        rows.append({"Attr": col, "Mean": all_results[col].mean(),
+                     "Std": all_results[col].std()})
+    return pd.DataFrame(rows, columns=["Attr", "Mean", "Std"])

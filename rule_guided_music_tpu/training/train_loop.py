@@ -1,0 +1,386 @@
+"""Diffusion training runtime: pjit train step, EMA, latent recombination.
+
+Re-architecture of guided_diffusion/train_util.py (TrainLoop :27-400):
+
+  * the hand-rolled fp16 master-param machinery (fp16_util.py) disappears —
+    TPUs train in bf16 compute with fp32 params, no loss scaling;
+  * DDP/no_sync/microbatching becomes one jit'd step over the global batch
+    with grad accumulation via ``lax.scan`` when microbatching is requested;
+    gradient psum over the mesh comes from GSPMD, not NCCL;
+  * on-the-fly VAE encoding with shifted-window recombination (get_kl_input,
+    train_util.py:403-429) is a jit'd preprocessing step: encode 1.28 s
+    chunks once, unfold into ``encode_rep`` overlapping 10.24 s latent
+    excerpts (effective batch x encode_rep);
+  * checkpoints are Orbax (params / EMA / opt state / step in one tree).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import os.path as osp
+import re
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..constants import LATENT_CH, LATENT_PITCH
+from ..diffusion import gaussian as gd
+from ..diffusion.schedule import Tables
+from ..utils import logger
+from .resample import LossAwareSampler, ScheduleSampler, UniformSampler
+
+
+def get_kl_input(
+    vae_encode: Callable,
+    batch: jnp.ndarray,
+    scale_factor: float = 1.0,
+    shift_size: int = 4,
+    recombine: bool = True,
+) -> jnp.ndarray:
+    """Encode a long roll batch and unfold into overlapping latent excerpts.
+
+    batch: (B, 3, 128, L) with L a multiple of 128. Returns
+    (B * encode_rep, 4, 128, 16) latents where encode_rep is determined by
+    the unfold geometry (train_util.py:403-429).
+    """
+    b, c, h, length = batch.shape
+    seq_len = length // h
+    # chunk order: 1st chunk for all batch, 2nd chunk for all batch, ...
+    chunks = batch.reshape(b, c, h, seq_len, h)
+    chunks = jnp.transpose(chunks, (3, 0, 1, 2, 4)).reshape(seq_len * b, c, h, h)
+    moments = vae_encode(chunks)                       # (seq*B, 8, 16, 16)
+    z = jnp.split(moments, 2, axis=1)[0]               # posterior mode
+    p = z.shape[-1]
+    z = z.reshape(seq_len, b, LATENT_CH, p, p)
+    z = jnp.transpose(z, (1, 2, 3, 0, 4)).reshape(b, LATENT_CH, p, seq_len * p)
+    z = jnp.transpose(z, (0, 1, 3, 2))                 # (B, 4, seq*16, 16)
+    if recombine:
+        window = 8 * 16
+        step = 16 * shift_size
+        total = z.shape[2]
+        n_windows = (total - window) // step + 1
+        wins = jnp.stack(
+            [z[:, :, i * step:i * step + window, :] for i in range(n_windows)],
+            axis=1,
+        )                                              # (B, n, 4, 128, 16)
+        z = wins.reshape(b * n_windows, LATENT_CH, window, LATENT_PITCH)
+    return z * scale_factor
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    lr_anneal_steps: int = 0
+    ema_rate: float = 0.9999
+    microbatch: int = -1           # per-step microbatch (post encode_rep)
+    encode_rep: int = 4
+    shift_size: int = 4
+    scale_factor: float = 1.0
+    log_interval: int = 10
+    save_interval: int = 10000
+    eval_interval: int = -1
+    mean_type: gd.ModelMeanType = gd.ModelMeanType.EPSILON
+    var_type: gd.ModelVarType = gd.ModelVarType.FIXED_LARGE
+    loss_type: gd.LossType = gd.LossType.MSE
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """AdamW with the reference's linear LR anneal (train_util.py:365-371)."""
+    if config.lr_anneal_steps:
+        schedule = optax.linear_schedule(
+            init_value=config.lr, end_value=0.0,
+            transition_steps=config.lr_anneal_steps,
+        )
+    else:
+        schedule = config.lr
+    return optax.adamw(schedule, weight_decay=config.weight_decay)
+
+
+class TrainState:
+    """params + EMA params + optimizer state + step, as one pytree."""
+
+    def __init__(self, params, ema_params, opt_state, step):
+        self.params = params
+        self.ema_params = ema_params
+        self.opt_state = opt_state
+        self.step = step
+
+    def tree(self):
+        return {
+            "params": self.params,
+            "ema_params": self.ema_params,
+            "opt_state": self.opt_state,
+            "step": self.step,
+        }
+
+    @classmethod
+    def from_tree(cls, tree):
+        return cls(tree["params"], tree["ema_params"], tree["opt_state"],
+                   tree["step"])
+
+
+def make_train_step(
+    model_apply: Callable,
+    tables: Tables,
+    optimizer: optax.GradientTransformation,
+    config: TrainConfig,
+):
+    """Build the jit-able train step over the (global) batch.
+
+    ``model_apply(params, x, t, y, rng)`` returns the raw model output.
+    Returns ``step_fn(state_tree, latents, t, weights, cond, rngs) ->
+    (state_tree, metrics)`` where metrics includes per-example loss for the
+    loss-aware sampler.
+    """
+
+    def loss_fn(params, latents, t, weights, y, rng):
+        noise_rng, dropout_rng = jax.random.split(rng)
+        noise = jax.random.normal(noise_rng, latents.shape, latents.dtype)
+
+        def model_fn(x, model_t, **kw):
+            return model_apply(params, x, model_t, y, dropout_rng)
+
+        terms = gd.training_losses(
+            tables, model_fn, latents, t, noise,
+            mean_type=config.mean_type, var_type=config.var_type,
+            loss_type=config.loss_type,
+        )
+        loss = (terms["loss"] * weights).mean()
+        return loss, terms
+
+    def microbatches(x, n):
+        return x.reshape((n, x.shape[0] // n) + x.shape[1:])
+
+    def step_fn(state_tree, latents, t, weights, y, rng):
+        params = state_tree["params"]
+        n_micro = (
+            max(latents.shape[0] // config.microbatch, 1)
+            if config.microbatch > 0 else 1
+        )
+        if n_micro > 1:
+            lat_m = microbatches(latents, n_micro)
+            t_m = microbatches(t, n_micro)
+            w_m = microbatches(weights, n_micro)
+            y_m = microbatches(y, n_micro) if y is not None else None
+            rngs = jax.random.split(rng, n_micro)
+
+            def micro(carry, xs):
+                grads_acc, loss_acc = carry
+                lat_i, t_i, w_i, y_i, rng_i = xs
+                (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, lat_i, t_i, w_i, y_i, rng_i
+                )
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), terms
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            xs = (lat_m, t_m, w_m, y_m, rngs)
+            (grads, loss_sum), terms = jax.lax.scan(micro, (zero_grads, 0.0), xs)
+            grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
+            loss = loss_sum / n_micro
+            terms = jax.tree_util.tree_map(lambda a: a.reshape(-1), terms)
+        else:
+            (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, latents, t, weights, y, rng
+            )
+
+        updates, opt_state = optimizer.update(
+            grads, state_tree["opt_state"], params
+        )
+        params = optax.apply_updates(params, updates)
+        rate = config.ema_rate
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: e * rate + p * (1 - rate),
+            state_tree["ema_params"], params,
+        )
+        new_state = {
+            "params": params,
+            "ema_params": ema_params,
+            "opt_state": opt_state,
+            "step": state_tree["step"] + 1,
+        }
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "param_norm": optax.global_norm(params),
+            "per_example_loss": terms["loss"],
+            "per_example_mse": terms.get("mse", terms["loss"]),
+        }
+        if "vb" in terms:
+            metrics["vb"] = terms["vb"].mean()
+        return new_state, metrics
+
+    return step_fn
+
+
+def log_loss_dict(num_timesteps: int, ts: np.ndarray, losses: Dict[str, np.ndarray]):
+    """Quartile-binned loss logging (train_util.py:469-475)."""
+    for key, values in losses.items():
+        values = np.asarray(values)
+        logger.logkv_mean(key, float(values.mean()))
+        for sub_t, sub_loss in zip(np.asarray(ts), values):
+            quartile = int(4 * sub_t / num_timesteps)
+            logger.logkv_mean(f"{key}_q{quartile}", float(sub_loss))
+
+
+class TrainLoop:
+    """Host-side orchestration: data, t-sampling, logging, checkpointing.
+
+    Single-controller JAX: every process runs the same loop; jit handles
+    cross-device collectives; only process 0 writes checkpoints/logs.
+    """
+
+    def __init__(
+        self,
+        *,
+        model_apply: Callable,
+        init_params,
+        tables: Tables,
+        data,
+        config: TrainConfig,
+        vae_encode: Optional[Callable] = None,
+        schedule_sampler: Optional[ScheduleSampler] = None,
+        checkpoint_dir: Optional[str] = None,
+        eval_fn: Optional[Callable] = None,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.tables = tables
+        self.data = data
+        self.config = config
+        self.vae_encode = vae_encode
+        self.schedule_sampler = schedule_sampler or UniformSampler(
+            tables.num_timesteps
+        )
+        self.checkpoint_dir = checkpoint_dir
+        self.eval_fn = eval_fn
+        self.rng = np.random.default_rng(seed)
+        self.jax_rng = jax.random.PRNGKey(seed)
+
+        optimizer = make_optimizer(config)
+        opt_state = optimizer.init(init_params)
+        self.state = {
+            "params": init_params,
+            "ema_params": jax.tree_util.tree_map(lambda x: x, init_params),
+            "opt_state": opt_state,
+            "step": jnp.zeros((), dtype=jnp.int32),
+        }
+        step_fn = make_train_step(model_apply, tables, optimizer, config)
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, shard_params
+
+            state_shardings = {
+                "params": shard_params(init_params, mesh),
+                "ema_params": shard_params(init_params, mesh),
+                "opt_state": None,
+                "step": None,
+            }
+            self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        else:
+            self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        if vae_encode is not None:
+            self._encode = jax.jit(
+                lambda batch: get_kl_input(
+                    vae_encode, batch,
+                    scale_factor=config.scale_factor,
+                    shift_size=config.shift_size,
+                )
+            )
+        self.step = 0
+        self.resume_step = 0
+
+    # -- checkpointing ------------------------------------------------------
+
+    def save(self):
+        if self.checkpoint_dir is None or jax.process_index() != 0:
+            return
+        import orbax.checkpoint as ocp
+
+        step = self.step + self.resume_step
+        path = osp.join(osp.abspath(self.checkpoint_dir), f"step_{step:06d}")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(self.state), force=True)
+        ckptr.wait_until_finished()
+        logger.log(f"saved checkpoint {path}")
+
+    def restore(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(path, target=jax.device_get(self.state))
+        self.state = jax.device_put(restored)
+        self.resume_step = int(restored["step"])
+        m = re.search(r"step_(\d+)", path)
+        if m:
+            self.resume_step = int(m.group(1))
+        logger.log(f"resumed from {path} at step {self.resume_step}")
+
+    @staticmethod
+    def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
+        if not osp.isdir(checkpoint_dir):
+            return None
+        ckpts = sorted(
+            d for d in os.listdir(checkpoint_dir) if d.startswith("step_")
+        )
+        return osp.join(osp.abspath(checkpoint_dir), ckpts[-1]) if ckpts else None
+
+    # -- main loop ----------------------------------------------------------
+
+    def run_step(self, batch: np.ndarray, cond: Dict[str, np.ndarray]):
+        cfg = self.config
+        batch = jnp.asarray(batch)
+        if self.vae_encode is not None:
+            latents = self._encode(batch)
+            rep = latents.shape[0] // batch.shape[0]
+        else:
+            latents = batch
+            rep = 1
+        y = cond.get("y")
+        if y is not None:
+            y = jnp.asarray(np.repeat(np.asarray(y), rep))
+        t_np, w_np = self.schedule_sampler.sample(latents.shape[0], self.rng)
+        self.jax_rng, step_rng = jax.random.split(self.jax_rng)
+        self.state, metrics = self.step_fn(
+            self.state, latents, jnp.asarray(t_np), jnp.asarray(w_np), y, step_rng
+        )
+        if isinstance(self.schedule_sampler, LossAwareSampler):
+            self.schedule_sampler.update_with_all_losses(
+                t_np, np.asarray(metrics["per_example_loss"])
+            )
+        log_loss_dict(
+            self.tables.num_timesteps, t_np,
+            {"loss": np.asarray(metrics["per_example_loss"]) * w_np,
+             "mse": np.asarray(metrics["per_example_mse"]) * w_np},
+        )
+        logger.logkv("grad_norm", float(metrics["grad_norm"]))
+        logger.logkv("param_norm", float(metrics["param_norm"]))
+        return metrics
+
+    def run_loop(self, max_steps: Optional[int] = None):
+        cfg = self.config
+        while (
+            (not cfg.lr_anneal_steps or
+             self.step + self.resume_step < cfg.lr_anneal_steps)
+            and (max_steps is None or self.step < max_steps)
+        ):
+            batch, cond = next(self.data)
+            self.run_step(batch, cond)
+            if self.eval_fn is not None and cfg.eval_interval > 0 and \
+                    self.step % cfg.eval_interval == 0:
+                self.eval_fn(self)
+            if self.step % cfg.log_interval == 0:
+                logger.logkv("step", self.step + self.resume_step)
+                logger.dumpkvs()
+            if self.step % cfg.save_interval == 0 and self.step != 0:
+                self.save()
+                if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
+                    return
+            self.step += 1
+        if (self.step - 1) % cfg.save_interval != 0:
+            self.save()

@@ -1,0 +1,183 @@
+"""Noise-aware rule-classifier training on latents.
+
+Re-architecture of scripts/classifier_train_aug.py:32-304: rule labels are
+computed in the data pipeline (with time-stretch/pitch-shift augmentation),
+excerpts are VAE-encoded, q_sample-noised at random t (optionally folded
+below ``no_high_noise``), and a DiTRotary classifier regresses/classifies
+the rule. The chord variant trains joint key (25-way CE) + per-window chord
+(8-way CE) heads.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rule_guided_music_tpu.config import add_dict_to_argparser, diffusion_defaults
+from rule_guided_music_tpu.data.datasets import load_data
+from rule_guided_music_tpu.diffusion import gaussian as gd
+from rule_guided_music_tpu.diffusion.schedule import make_schedule
+from rule_guided_music_tpu.models import DiT_models
+from rule_guided_music_tpu.pipeline import VAEBundle
+from rule_guided_music_tpu.training.train_loop import get_kl_input
+from rule_guided_music_tpu.utils import logger
+
+
+def main():
+    args = create_argparser().parse_args()
+    logger.configure(args=args)
+
+    chord = "chord" in args.rule
+    model = DiT_models[args.classifier_name](
+        input_size=tuple(args.image_size),
+        in_channels=args.in_channels,
+        num_classes=args.num_classes,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    x = jnp.zeros((1, args.in_channels, *args.image_size))
+    t = jnp.zeros((1,))
+    params = model.init(jax.random.PRNGKey(args.seed), x, t)
+
+    schedule = make_schedule(args.noise_schedule, args.diffusion_steps)
+    tables = schedule.tables()
+    vae = VAEBundle.create(vae_path=args.vae_path, scale_factor=args.scale_factor)
+
+    data = load_data(
+        data_dir=args.data_dir,
+        batch_size=args.batch_size // args.encode_rep,
+        class_cond=False,
+        image_size=args.pr_image_size,
+        rule=args.rule,
+        shard=jax.process_index(),
+        num_shards=jax.process_count(),
+        seed=args.seed,
+    )
+
+    optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay)
+    opt_state = optimizer.init(params)
+
+    encode = jax.jit(
+        lambda batch: get_kl_input(
+            vae.raw_encode_moments, batch,
+            scale_factor=args.scale_factor, shift_size=args.shift_size,
+        )
+    )
+
+    def loss_fn(p, latents, t, labels, rng):
+        noise = jax.random.normal(rng, latents.shape)
+        x_t = gd.q_sample(tables, latents, t, noise)
+        model_t = tables.model_t[t]
+        if chord:
+            key_logits, chord_logits = model.apply(p, x_t, model_t)
+            key_labels = labels["key"].astype(jnp.int32)
+            chord_labels = labels["chord"].astype(jnp.int32)
+            key_loss = optax.softmax_cross_entropy_with_integer_labels(
+                key_logits, key_labels
+            ).mean()
+            chord_loss = optax.softmax_cross_entropy_with_integer_labels(
+                chord_logits.reshape(-1, chord_logits.shape[-1]),
+                chord_labels.reshape(-1),
+            ).mean()
+            loss = key_loss + chord_loss
+            aux = {
+                "key_loss": key_loss, "chord_loss": chord_loss,
+                "key_acc": (key_logits.argmax(-1) == key_labels).mean(),
+                "chord_acc": (
+                    chord_logits.argmax(-1) == chord_labels
+                ).mean(),
+            }
+        else:
+            logits = model.apply(p, x_t, model_t)
+            target = labels[args.rule].astype(jnp.float32)
+            loss = ((logits - target) ** 2).sum(-1).mean()
+            aux = {"mse": loss}
+        return loss, aux
+
+    @jax.jit
+    def train_step(p, opt_state, latents, t, labels, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, latents, t, labels, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return p, opt_state, loss, aux
+
+    rng_np = np.random.default_rng(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+    logger.log(f"training classifier for rule '{args.rule}'...")
+    for step in range(args.iterations):
+        batch, cond = next(data)
+        latents = encode(jnp.asarray(batch))
+        rep = latents.shape[0] // batch.shape[0]
+        labels = {
+            k: jnp.asarray(np.repeat(np.asarray(v), rep, axis=0))
+            for k, v in cond.items()
+        }
+        max_t = (args.no_high_noise if args.no_high_noise > 0
+                 else tables.num_timesteps)
+        t = jnp.asarray(
+            rng_np.integers(0, max_t, size=(latents.shape[0],)), dtype=jnp.int32
+        )
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss, aux = train_step(
+            params, opt_state, latents, t, labels, sub
+        )
+        logger.logkv_mean("loss", float(loss))
+        for k, v in aux.items():
+            logger.logkv_mean(k, float(v))
+        if step % args.log_interval == 0:
+            logger.logkv("step", step)
+            logger.dumpkvs()
+        if step % args.save_interval == 0 and step > 0 and \
+                jax.process_index() == 0:
+            import orbax.checkpoint as ocp
+
+            path = os.path.join(
+                os.path.abspath(logger.get_dir()), "checkpoints",
+                f"model{step:06d}",
+            )
+            ocp.StandardCheckpointer().save(
+                path, jax.device_get(params), force=True
+            )
+            logger.log(f"saved {path}")
+
+
+def create_argparser():
+    defaults = dict(
+        project="music-classifier",
+        dir="",
+        data_dir="",
+        classifier_name="DiTRotary-S/8-cls",
+        rule="note_density",
+        num_classes=16,
+        iterations=10000,
+        lr=3e-4,
+        weight_decay=0.05,
+        batch_size=32,
+        image_size=[128, 16],
+        in_channels=4,
+        vae_path="",
+        scale_factor=1.2465,
+        pr_image_size=1024,
+        encode_rep=1,
+        shift_size=4,
+        no_high_noise=0,
+        log_interval=10,
+        save_interval=5000,
+        bf16=True,
+        seed=0,
+    )
+    defaults.update(diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+if __name__ == "__main__":
+    main()

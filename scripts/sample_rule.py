@@ -1,0 +1,239 @@
+"""Rule-guided generation CLI — the flagship entry point.
+
+TPU re-architecture of the reference's scripts/sample_rule.py: assembles
+denoiser/VAE/classifiers from args + YAML guidance config, resolves target
+rules (given in YAML or extracted from a test set), runs the whole guided
+reverse chain as ONE jitted scan on device, decodes to piano rolls, writes
+.midi files plus results.csv / summary.csv under loggings/<config-path>.
+
+Reference YAML configs (scripts/configs/**) work unchanged.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rule_guided_music_tpu import pipeline
+from rule_guided_music_tpu.config import (
+    add_dict_to_argparser,
+    load_config,
+    model_and_diffusion_defaults,
+    sampler_config_from_yaml,
+)
+from rule_guided_music_tpu.constants import BACKGROUND_THRESHOLD
+from rule_guided_music_tpu.data.pianoroll import (
+    finalize_decoded_sample,
+    save_piano_roll_midi,
+)
+from rule_guided_music_tpu.diffusion.guidance import make_model_fn
+from rule_guided_music_tpu.diffusion.sampling import sample_loop
+from rule_guided_music_tpu.diffusion.schedule import make_schedule
+from rule_guided_music_tpu.utils import logger
+
+
+def main():
+    args = create_argparser().parse_args()
+    root_dir = "cond_demo/"
+    if "cond_table/" in args.config_path:
+        args.dir = (root_dir
+                    + os.path.splitext(args.config_path.split("cond_table/")[-1])[0]
+                    + f"_cls_{args.class_label}")
+    else:
+        args.dir = (root_dir
+                    + os.path.splitext(args.config_path.split(root_dir)[-1])[0]
+                    + f"_cls_{args.class_label}")
+
+    logger.configure(args=args)
+    config = load_config(args.config_path)
+    if config.sampling.use_ddim:
+        args.timestep_respacing = config.sampling.timestep_respacing
+
+    logger.log("creating model and diffusion...")
+    denoiser = pipeline.DenoiserBundle.create(
+        args.model,
+        input_size=args.image_size,
+        in_channels=args.in_channels,
+        num_classes=args.num_classes,
+        learn_sigma=args.learn_sigma,
+        model_path=args.model_path,
+    )
+    schedule = make_schedule(
+        noise_schedule=args.noise_schedule,
+        steps=args.diffusion_steps,
+        timestep_respacing=args.timestep_respacing,
+        rescale_timesteps=args.rescale_timesteps,
+    )
+    tables = schedule.tables()
+
+    vae = pipeline.VAEBundle.create(
+        vae_path=args.vae_path, scale_factor=args.scale_factor
+    ) if args.vae else None
+
+    classifiers = None
+    if config.guidance.nn:
+        logger.log("loading classifiers...")
+        classifiers = pipeline.build_classifiers(
+            config.guidance.cond_fn.classifiers,
+            input_size=args.image_size, in_channels=args.in_channels,
+        )
+    cond_fn = build_cond = pipeline.build_cond_fn(config, classifiers)
+
+    # --- model closure (CFG / DiffCollage) -------------------------------
+    if config.sampling.diff_collage:
+        from rule_guided_music_tpu.diffusion.collage import (
+            circle_length,
+            linear_length,
+            make_cond_ind_eps_fn,
+        )
+
+        circle = config.dc.type == "circle"
+        overlap = config.dc.overlap_size
+        num_img = config.dc.num_img
+        t_long = (circle_length(num_img, overlap) if circle
+                  else linear_length(num_img, overlap))
+        base_model_fn = make_model_fn(
+            denoiser.apply_fn, num_classes=args.num_classes,
+            class_cond=args.class_cond, cfg=args.cfg, w=args.w,
+        )
+        model_fn_used = make_cond_ind_eps_fn(
+            base_model_fn, num_img, overlap, circle=circle
+        )
+        gen_shape = (args.batch_size, args.in_channels, t_long,
+                     args.image_size[1])
+    else:
+        model_fn_used = make_model_fn(
+            denoiser.apply_fn, num_classes=args.num_classes,
+            class_cond=args.class_cond, cfg=args.cfg, w=args.w,
+        )
+        gen_shape = (args.batch_size, args.in_channels,
+                     args.image_size[0], args.image_size[1])
+
+    # --- target rules ------------------------------------------------------
+    target_rules = vars(config.target_rules)
+    given = all(v is not None for v in target_rules.values())
+    if given:
+        rules = pipeline.resolve_given_targets(target_rules, args.batch_size)
+    else:
+        if "vertical_nd" in target_rules:
+            target_rules["note_density"] = None
+            target_rules.pop("vertical_nd")
+            target_rules.pop("horizontal_nd")
+        logger.log(f"extracting targets from test set cls {args.class_label}...")
+        from rule_guided_music_tpu.data.datasets import load_data
+
+        val_data = load_data(
+            data_dir=args.data_dir + "_test_cls_" + str(args.class_label) + ".csv",
+            batch_size=args.batch_size,
+            class_cond=True,
+            deterministic=bool(args.record or args.deterministic),
+            image_size=gen_shape[2] * 8,
+            rule=None,
+            prefetch=0,
+        )
+        gt, _ = next(val_data)
+        rules = pipeline.extract_targets_from_rolls(
+            list(target_rules.keys()), jnp.asarray(gt)
+        )
+
+    sampler_config = sampler_config_from_yaml(
+        config, learn_sigma=args.learn_sigma, record=args.record,
+        rule_names=list(rules.keys()),
+    )
+
+    y = None
+    if args.class_cond:
+        y = jnp.full((args.batch_size,), args.class_label, dtype=jnp.int32)
+
+    save_dir = logger.get_dir()
+    os.makedirs(os.path.expanduser(save_dir), exist_ok=True)
+
+    decode_for_guidance = vae.decode if (vae and config.guidance.vae) else None
+
+    @jax.jit
+    def generate(rng):
+        return sample_loop(
+            rng, model_fn_used, gen_shape, tables, sampler_config,
+            y=y, rules=rules, cond_fn=cond_fn,
+            decode_fn=decode_for_guidance,
+        )
+
+    logger.log("sampling...")
+    import pandas as pd
+
+    all_results = pd.DataFrame()
+    count, rng = 0, jax.random.PRNGKey(args.seed)
+    while count < args.num_samples:
+        rng, sub = jax.random.split(rng)
+        latents, records = generate(sub)
+        rolls = vae.decode(latents) if vae else latents
+        arr = finalize_decoded_sample(np.asarray(rolls), BACKGROUND_THRESHOLD)
+        if args.save_files:
+            save_piano_roll_midi(
+                arr, save_dir, args.fs,
+                y=np.asarray(y) if y is not None else None, save_ind=count,
+            )
+        generated = jnp.asarray(arr.astype(np.float32) / 63.5 - 1.0)
+        results = pipeline.eval_rule_loss(generated, rules)
+        all_results = pd.concat([all_results, results], ignore_index=True)
+        if args.save_files:
+            all_results.to_csv(os.path.join(save_dir, "results.csv"), index=False)
+        count += args.batch_size
+        logger.log(f"created {count} samples")
+
+    if args.save_files:
+        all_results.to_csv(os.path.join(save_dir, "results.csv"), index=False)
+        loss_stats = pipeline.summarize_losses(all_results)
+        loss_stats.to_csv(os.path.join(save_dir, "summary.csv"))
+        print(loss_stats)
+
+    if args.record:
+        import pickle
+
+        rec_np = {k: np.asarray(v) for k, v in records.items()}
+        with open(os.path.join(save_dir, "record.pkl"), "wb") as f:
+            pickle.dump(rec_np, f)
+        logger.log(f"wrote per-step diagnostics to {save_dir}/record.pkl")
+
+    logger.log("sampling complete")
+
+
+def create_argparser():
+    defaults = dict(
+        project="music-sampling",
+        dir="",
+        data_dir="",
+        config_path="",
+        model="DiTRotary_XL_8",
+        model_path="",
+        vae="kl/f8-all-onset",
+        vae_path="",
+        clip_denoised=False,
+        num_samples=128,
+        batch_size=16,
+        scale_factor=1.0,
+        fs=100,
+        num_classes=3,
+        class_label=1,
+        class_cond=True,
+        cfg=False,
+        w=4.0,
+        classifier_scale=1.0,
+        record=False,
+        save_files=True,
+        deterministic=False,
+        seed=0,
+    )
+    defaults.update(model_and_diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Latent DiT training CLI (reference: scripts/train_dit.py).
+
+Defaults mirror the reference: DiTRotary_XL_8 on (128, 16) latents, lr 1e-4,
+EMA 0.9999, encode_rep 4 (shifted-window latent recombination from 25.6 s
+rolls), class-conditional on 3 dataset labels. Data parallelism comes from
+the device mesh; run the same command on every host of a pod slice.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from rule_guided_music_tpu.config import add_dict_to_argparser, diffusion_defaults
+from rule_guided_music_tpu.data.datasets import load_data
+from rule_guided_music_tpu.diffusion import gaussian as gd
+from rule_guided_music_tpu.diffusion.schedule import make_schedule
+from rule_guided_music_tpu.models import DiT_models
+from rule_guided_music_tpu.pipeline import VAEBundle
+from rule_guided_music_tpu.training.resample import create_named_schedule_sampler
+from rule_guided_music_tpu.training.train_loop import TrainConfig, TrainLoop
+from rule_guided_music_tpu.utils import logger
+
+
+def main():
+    args = create_argparser().parse_args()
+    logger.configure(args=args)
+    logger.log("creating model and diffusion...")
+
+    model = DiT_models[args.model](
+        input_size=tuple(args.image_size),
+        in_channels=args.in_channels,
+        num_classes=args.num_classes,
+        learn_sigma=args.learn_sigma,
+        class_dropout_prob=args.class_dropout_prob,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    x = jnp.zeros((1, args.in_channels, *args.image_size))
+    t = jnp.zeros((1,))
+    y = jnp.zeros((1,), dtype=jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(args.seed),
+         "label_dropout": jax.random.PRNGKey(args.seed + 1)},
+        x, t, y, train=True,
+    )
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    logger.log(f"model {args.model}: {n_params/1e6:.1f}M params")
+
+    schedule = make_schedule(args.noise_schedule, args.diffusion_steps)
+    tables = schedule.tables()
+
+    vae = VAEBundle.create(vae_path=args.vae_path, scale_factor=args.scale_factor)
+
+    data = load_data(
+        data_dir=args.data_dir,
+        batch_size=args.batch_size // args.encode_rep,
+        class_cond=args.class_cond,
+        image_size=args.pr_image_size,
+        shard=jax.process_index(),
+        num_shards=jax.process_count(),
+        seed=args.seed,
+    )
+
+    config = TrainConfig(
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        lr_anneal_steps=args.lr_anneal_steps,
+        ema_rate=float(args.ema_rate),
+        microbatch=args.microbatch,
+        encode_rep=args.encode_rep,
+        shift_size=args.shift_size,
+        scale_factor=args.scale_factor,
+        log_interval=args.log_interval,
+        save_interval=args.save_interval,
+        var_type=(gd.ModelVarType.LEARNED_RANGE if args.learn_sigma
+                  else gd.ModelVarType.FIXED_LARGE),
+        loss_type=(gd.LossType.RESCALED_MSE if args.learn_sigma
+                   else gd.LossType.MSE),
+    )
+
+    def model_apply(p, x, model_t, y, rng):
+        return model.apply(p, x, model_t, y, train=True,
+                           rngs={"label_dropout": rng})
+
+    loop = TrainLoop(
+        model_apply=model_apply,
+        init_params=params,
+        tables=tables,
+        data=data,
+        config=config,
+        vae_encode=vae.raw_encode_moments,
+        schedule_sampler=create_named_schedule_sampler(
+            args.schedule_sampler, tables.num_timesteps
+        ),
+        checkpoint_dir=os.path.join(logger.get_dir(), "checkpoints"),
+        seed=args.seed,
+    )
+    if args.resume_checkpoint:
+        loop.restore(args.resume_checkpoint)
+    elif args.resume:
+        latest = TrainLoop.latest_checkpoint(
+            os.path.join(logger.get_dir(), "checkpoints")
+        )
+        if latest:
+            loop.restore(latest)
+
+    logger.log("training...")
+    loop.run_loop(max_steps=args.max_steps if args.max_steps > 0 else None)
+
+
+def create_argparser():
+    defaults = dict(
+        project="music-diffusion",
+        dir="",
+        data_dir="",
+        model="DiTRotary_XL_8",
+        schedule_sampler="uniform",
+        lr=1e-4,
+        weight_decay=0.0,
+        lr_anneal_steps=0,
+        batch_size=32,
+        microbatch=-1,
+        ema_rate="0.9999",
+        log_interval=10,
+        save_interval=10000,
+        resume_checkpoint="",
+        resume=False,
+        image_size=[128, 16],
+        in_channels=4,
+        num_classes=3,
+        class_cond=True,
+        class_dropout_prob=0.1,
+        vae_path="",
+        scale_factor=1.2465,
+        pr_image_size=2560,
+        encode_rep=4,
+        shift_size=4,
+        fs=100,
+        bf16=True,
+        seed=0,
+        max_steps=-1,
+    )
+    defaults.update(diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+if __name__ == "__main__":
+    main()

@@ -17,4 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# JAX_PLATFORMS at interpreter startup; override it back so the test suite
+# runs on the 8-device virtual CPU mesh and never touches the real chip.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

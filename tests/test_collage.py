@@ -1,0 +1,118 @@
+"""DiffCollage stitched-epsilon tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rule_guided_music_tpu.diffusion.collage import (
+    circle_length,
+    linear_length,
+    make_cond_ind_eps_fn,
+    merge_windows,
+    split_windows,
+)
+
+
+def test_split_merge_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 320, 16))
+    n = 3  # 3*128 - 2*32 = 320 -> overlap 32
+    wins, overlap = split_windows(x, n)
+    assert wins.shape == (6, 4, 128, 16)
+    assert overlap == 32
+    merged = merge_windows(wins, overlap, n, is_avg=True)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(x), atol=1e-6)
+
+
+def test_window_order_matches_reference():
+    """Window index varies fastest within batch ((b n) layout)."""
+    x = jnp.arange(2 * 1 * 192 * 1, dtype=jnp.float32).reshape(2, 1, 192, 1)
+    wins, overlap = split_windows(x, 2)  # overlap 64
+    np.testing.assert_allclose(np.asarray(wins[0]), np.asarray(x[0, :, :128]))
+    np.testing.assert_allclose(np.asarray(wins[1]), np.asarray(x[0, :, 64:192]))
+    np.testing.assert_allclose(np.asarray(wins[2]), np.asarray(x[1, :, :128]))
+
+
+def test_cond_ind_linear_identity():
+    """With eps_fn = identity, the conditional-independence composition is
+    exactly identity: overlaps double-counted by the fold are cancelled by
+    the subtracted half-window factors."""
+    num_img, overlap = 3, 64
+    t_long = linear_length(num_img, overlap)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, t_long, 16))
+    eps_fn = lambda xs, t, y=None: xs
+    long_eps = make_cond_ind_eps_fn(eps_fn, num_img, overlap, circle=False)
+    out = long_eps(x, jnp.zeros((2,)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_cond_ind_circle_identity():
+    num_img, overlap = 3, 64
+    t_long = circle_length(num_img, overlap)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, t_long, 16))
+    eps_fn = lambda xs, t, y=None: xs
+    long_eps = make_cond_ind_eps_fn(eps_fn, num_img, overlap, circle=True)
+    out = long_eps(x, jnp.zeros((1,)))
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_cond_ind_passes_labels_and_t():
+    """Per-window calls must see repeated t/y (repeat_interleave semantics)."""
+    seen = {}
+
+    def eps_fn(xs, t, y=None):
+        seen["t"] = t
+        seen["y"] = y
+        return jnp.zeros_like(xs)
+
+    num_img, overlap = 2, 64
+    t_long = linear_length(num_img, overlap)
+    x = jnp.zeros((2, 4, t_long, 16))
+    long_eps = make_cond_ind_eps_fn(eps_fn, num_img, overlap)
+    long_eps(x, jnp.array([5.0, 9.0]), y=jnp.array([1, 2]))
+    np.testing.assert_array_equal(np.asarray(seen["t"]), [5, 5, 9, 9])
+    np.testing.assert_array_equal(np.asarray(seen["y"]), [1, 1, 2, 2])
+
+
+def test_cond_ind_half_window_shape():
+    """The overlap-factor call sees (B*n, C, overlap, P) windows."""
+    shapes = []
+
+    def eps_fn(xs, t, y=None):
+        shapes.append(xs.shape)
+        return jnp.zeros_like(xs)
+
+    num_img, overlap = 2, 64
+    x = jnp.zeros((1, 4, linear_length(num_img, overlap), 16))
+    make_cond_ind_eps_fn(eps_fn, num_img, overlap)(x, jnp.zeros((1,)))
+    assert (2, 4, 128, 16) in shapes
+    assert (2, 4, 64, 16) in shapes
+
+
+def test_collage_in_sampler():
+    """Stitched eps_fn drops into the scan sampler as a plain model_fn."""
+    from rule_guided_music_tpu.diffusion import gaussian as gd
+    from rule_guided_music_tpu.diffusion.sampling import SamplerConfig, sample_loop
+    from rule_guided_music_tpu.diffusion.schedule import make_schedule
+
+    # respaced: a raw 20-step linear schedule has beta_end=1 (degenerate)
+    tables = make_schedule("linear", 1000, timestep_respacing="20").tables()
+    num_img, overlap = 2, 64
+    t_long = linear_length(num_img, overlap)
+    shape = (1, 2, t_long, 16)
+    x0 = jnp.full(shape, 0.3)
+
+    def window_eps(xs, t, y=None):
+        # oracle per-window eps toward the corresponding x0 slice: since x0
+        # is constant, predict eps from the constant directly.
+        ti = t.astype(jnp.int32)
+        return gd.predict_eps_from_xstart(tables, xs, ti, jnp.full_like(xs, 0.3))
+
+    long_eps = make_cond_ind_eps_fn(window_eps, num_img, overlap)
+    cfg = SamplerConfig(sampler="ddpm")
+    sample, _ = sample_loop(
+        jax.random.PRNGKey(0), lambda x, t, y: long_eps(x, t, y),
+        shape, tables, cfg,
+    )
+    np.testing.assert_allclose(np.asarray(sample), 0.3, atol=0.1)

@@ -1,0 +1,316 @@
+"""Scan-based sampler tests: oracle chains, DDIM, SCG selection, edit, guidance."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rule_guided_music_tpu.diffusion import gaussian as gd
+from rule_guided_music_tpu.diffusion.sampling import (
+    EditConfig,
+    GuidanceConfig,
+    SCGConfig,
+    SamplerConfig,
+    _scg_select,
+    sample_loop,
+)
+from rule_guided_music_tpu.diffusion.schedule import make_schedule
+from rule_guided_music_tpu.rules.registry import FUNC_DICT, LOSS_DICT
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return make_schedule("linear", 50).tables()
+
+
+def oracle_model(tables, x0):
+    """A perfect eps-model that knows the true x0."""
+
+    def model_fn(x, model_t, y=None):
+        t = model_t.astype(jnp.int32)
+        return gd.predict_eps_from_xstart(tables, x, t, x0)
+
+    return model_fn
+
+
+def test_ddpm_oracle_chain_recovers_x0(tables):
+    shape = (2, 1, 8, 8)
+    x0 = jnp.full(shape, 0.5)
+    cfg = SamplerConfig(sampler="ddpm")
+    sample, _ = jax.jit(
+        lambda rng: sample_loop(rng, oracle_model(tables, x0), shape, tables, cfg)
+    )(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(sample), 0.5, atol=0.05)
+
+
+def test_ddim_eta0_deterministic(tables):
+    shape = (1, 1, 4, 4)
+    x0 = jnp.full(shape, -0.25)
+    cfg = SamplerConfig(sampler="ddim", eta=0.0)
+    noise = jax.random.normal(jax.random.PRNGKey(3), shape)
+    run = lambda rng: sample_loop(
+        rng, oracle_model(tables, x0), shape, tables, cfg, noise=noise
+    )[0]
+    s1 = run(jax.random.PRNGKey(0))
+    s2 = run(jax.random.PRNGKey(99))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), -0.25, atol=0.02)
+
+
+def test_ddim_eta1_oracle(tables):
+    shape = (2, 1, 4, 4)
+    x0 = jnp.full(shape, 0.3)
+    cfg = SamplerConfig(sampler="ddim", eta=1.0)
+    sample, _ = sample_loop(
+        jax.random.PRNGKey(1), oracle_model(tables, x0), shape, tables, cfg
+    )
+    np.testing.assert_allclose(np.asarray(sample), 0.3, atol=0.05)
+
+
+def test_early_stop_t_end(tables):
+    shape = (1, 1, 4, 4)
+    x0 = jnp.zeros(shape)
+    cfg = SamplerConfig(sampler="ddpm", t_end=10)
+    sample, _ = sample_loop(
+        jax.random.PRNGKey(0), oracle_model(tables, x0), shape, tables, cfg
+    )
+    # stopping at t=10 leaves residual noise of scale sqrt(1-acp[9]) around
+    # the posterior mean — just check it ran the right number of steps and
+    # produced finite output.
+    assert bool(jnp.isfinite(sample).all())
+
+
+def test_edit_mask_keeps_ground_truth(tables):
+    shape = (1, 1, 16, 4)
+    gt = jnp.full(shape, 0.4)
+    mask = jnp.ones(shape)  # nothing editable: everything pinned to gt
+    cfg = SamplerConfig(
+        sampler="ddpm", edit=EditConfig(noise_level=30, l_start=0, l_end=16)
+    )
+    x0 = jnp.zeros(shape)  # oracle pulls toward 0, mask must win
+    sample, _ = sample_loop(
+        jax.random.PRNGKey(0), oracle_model(tables, x0), shape, tables, cfg,
+        edit_gt=gt, edit_mask=mask,
+    )
+    np.testing.assert_allclose(np.asarray(sample), 0.4, atol=0.05)
+
+
+def test_edit_partial_mask(tables):
+    shape = (1, 1, 16, 4)
+    gt = jnp.full(shape, 0.8)
+    mask = jnp.zeros(shape).at[:, :, :8, :].set(1.0)
+    x0 = jnp.full(shape, -0.8)
+    cfg = SamplerConfig(
+        sampler="ddpm", edit=EditConfig(noise_level=40, l_start=8, l_end=16)
+    )
+    sample, _ = sample_loop(
+        jax.random.PRNGKey(0), oracle_model(tables, x0), shape, tables, cfg,
+        edit_gt=gt, edit_mask=mask,
+    )
+    s = np.asarray(sample)
+    np.testing.assert_allclose(s[:, :, :8, :], 0.8, atol=0.06)   # pinned
+    np.testing.assert_allclose(s[:, :, 8:, :], -0.8, atol=0.06)  # generated
+
+
+def test_classifier_guidance_shifts_samples(tables):
+    shape = (4, 1, 4, 4)
+    x0 = jnp.zeros(shape)
+    target = 0.6
+
+    def cond_fn(x, model_t, rules):
+        # grad log N(x; target, I) = -(x - target); modest scale to stay stable
+        return -(x - target) * 2.0
+
+    cfg = SamplerConfig(
+        sampler="ddpm",
+        guidance=GuidanceConfig(method="classifier_guidance", schedule=False),
+    )
+    guided, _ = sample_loop(
+        jax.random.PRNGKey(0), oracle_model(tables, x0), shape, tables, cfg,
+        cond_fn=cond_fn,
+    )
+    unguided, _ = sample_loop(
+        jax.random.PRNGKey(0), oracle_model(tables, x0), shape, tables,
+        SamplerConfig(sampler="ddpm"),
+    )
+    # The oracle denoiser re-anchors to x0 each step, so the
+    # accumulated shift is small; assert direction, not magnitude.
+    assert float(guided.mean()) > float(unguided.mean()) + 1e-3
+
+
+def test_ddim_condition_score_guidance(tables):
+    shape = (4, 1, 4, 4)
+    x0 = jnp.zeros(shape)
+
+    def cond_fn(x, model_t, rules):
+        return -(x - 0.6) * 2.0
+
+    cfg = SamplerConfig(
+        sampler="ddim", eta=1.0,
+        guidance=GuidanceConfig(method="classifier_guidance", schedule=False),
+    )
+    guided, _ = sample_loop(
+        jax.random.PRNGKey(0), oracle_model(tables, x0), shape, tables, cfg,
+        cond_fn=cond_fn,
+    )
+    assert float(guided.mean()) > 1e-3
+
+
+def test_dps_guidance_runs_and_shifts(tables):
+    shape = (2, 1, 4, 4)
+    x0 = jnp.zeros(shape)
+
+    def cond_fn(x0_pred, model_t, rules):
+        return -((x0_pred - 0.5) ** 2).reshape(x0_pred.shape[0], -1).sum(-1)
+
+    # DPS differentiates through the denoiser: use a zero-eps model so
+    # x̂0 = sqrt(1/acp) * x actually depends on x (an oracle that always
+    # outputs the same x̂0 has zero DPS gradient by construction).
+    def zero_model(x, model_t, y=None):
+        return jnp.zeros_like(x)
+
+    cfg = SamplerConfig(
+        sampler="ddpm",
+        guidance=GuidanceConfig(method="dps", schedule=False, step_size=2.0,
+                                nn=True),
+    )
+    guided, _ = sample_loop(
+        jax.random.PRNGKey(0), zero_model, shape, tables, cfg,
+        cond_fn=cond_fn,
+    )
+    unguided, _ = sample_loop(
+        jax.random.PRNGKey(0), zero_model, shape, tables,
+        SamplerConfig(sampler="ddpm"),
+    )
+    assert float(guided.mean()) > float(unguided.mean())
+
+
+def _make_target_roll(pitch, batch=2, length=128):
+    roll = np.full((batch, 1, 128, length), -1.0, dtype=np.float32)
+    roll[:, 0, pitch, :] = 0.5
+    return jnp.asarray(roll)
+
+
+def test_scg_select_picks_best_candidate(tables):
+    """SCG must pick the candidate whose one-step x̂0 best matches the rule."""
+    b, k = 2, 6
+    shape = (b, 1, 128, 128)
+    t = jnp.full((b,), 20, dtype=jnp.int32)
+
+    # The "model" predicts eps=0, so x̂0 = sqrt(1/acp)*cand — monotone in the
+    # candidate itself; rule scoring then sees (scaled) candidates directly.
+    def model_fn(x, model_t, y=None):
+        return jnp.zeros_like(x)
+
+    target_hist = np.zeros((b, 12), dtype=np.float32)
+    target_hist[:, 0] = 1.0  # want everything on pitch class C
+    rules = {"pitch_hist": jnp.asarray(target_hist)}
+
+    cfg = SamplerConfig(
+        sampler="ddpm",
+        scg=SCGConfig(num_samples=k, weights=(("pitch_hist", 1.0),)),
+    )
+    mean = _make_target_roll(60)  # biased toward C already
+    g_coeff = jnp.ones_like(mean) * 0.8
+    selected, record = _scg_select(
+        cfg, tables, model_fn, None, rules,
+        jax.random.PRNGKey(0), mean, g_coeff, t, None,
+    )
+    assert selected.shape == shape
+
+    # Independent recomputation of the argmax:
+    noise = jax.random.normal(jax.random.PRNGKey(0), (k,) + shape)
+    cands = mean[None] + g_coeff[None] * noise
+    flat = cands.reshape((k * b,) + shape[1:])
+    x0 = gd.predict_xstart_from_eps(
+        tables, flat, jnp.tile(t, (k,)), jnp.zeros_like(flat)
+    )
+    gen = FUNC_DICT["pitch_hist"](x0)
+    lp = -LOSS_DICT["pitch_hist"](gen, jnp.concatenate([rules["pitch_hist"]] * k))
+    lp = lp.reshape(k, b)
+    expected = cands[jnp.argmax(lp, axis=0), jnp.arange(b)]
+    np.testing.assert_allclose(np.asarray(selected), np.asarray(expected))
+
+
+def test_scg_full_chain_improves_rule_loss():
+    """End-to-end: SCG-guided chain lands closer to the pitch target."""
+    # Respaced 25-step chain (a raw 25-step linear schedule would have
+    # beta_end = 0.8 and degenerate tables).
+    tables25 = make_schedule("linear", 1000, timestep_respacing="25").tables()
+    b = 1
+    shape = (b, 1, 128, 128)
+    roll = np.full((b, 1, 128, 128), -1.0, dtype=np.float32)
+    roll[:, 0, 60, :] = 0.5
+    x0_roll = jnp.asarray(roll)
+
+    target_hist = np.zeros((b, 12), dtype=np.float32)
+    target_hist[:, 0] = 1.0
+    rules = {"pitch_hist": jnp.asarray(target_hist)}
+
+    scg_cfg = SamplerConfig(
+        sampler="ddpm",
+        guidance=GuidanceConfig(method="no_guidance", schedule=True,
+                                t_start=25, t_end=0, interval=1),
+        scg=SCGConfig(num_samples=8, weights=(("pitch_hist", 1.0),)),
+    )
+    plain_cfg = SamplerConfig(sampler="ddpm")
+
+    # The model's x̂0 must depend on x_t for SCG selection to matter: mix the
+    # zero-eps prediction (pure function of the candidate) with the target.
+    def mixed_model(x, model_t, y=None):
+        t = model_t.astype(jnp.int32)
+        reps = x.shape[0] // x0_roll.shape[0]
+        target = jnp.tile(x0_roll, (reps, 1, 1, 1))
+        x0_from_x = jnp.clip(
+            gd.predict_xstart_from_eps(tables25, x, t, jnp.zeros_like(x)),
+            -1, 1,
+        )
+        x0_pred = 0.5 * x0_from_x + 0.5 * target
+        return gd.predict_eps_from_xstart(tables25, x, t, x0_pred)
+
+    run = lambda cfg, key: sample_loop(
+        key, mixed_model, shape, tables25, cfg, rules=rules
+    )[0]
+    guided = run(scg_cfg, jax.random.PRNGKey(0))
+    plain = run(plain_cfg, jax.random.PRNGKey(0))
+
+    loss = lambda s: float(
+        LOSS_DICT["pitch_hist"](
+            FUNC_DICT["pitch_hist"](s), rules["pitch_hist"]
+        ).mean()
+    )
+    assert loss(guided) < loss(plain)
+
+
+def test_record_mode_emits_series(tables):
+    b = 1
+    shape = (b, 1, 128, 128)
+    x0_roll = _make_target_roll(60, batch=b)
+    rules = {"pitch_hist": jnp.asarray(np.eye(12, dtype=np.float32)[:1])}
+    cfg = SamplerConfig(
+        sampler="ddpm",
+        guidance=GuidanceConfig(method="no_guidance", schedule=True,
+                                t_start=25, t_end=0, interval=1),
+        scg=SCGConfig(num_samples=2, weights=()),
+        record=True,
+    )
+    _, records = sample_loop(
+        jax.random.PRNGKey(0), oracle_model(tables, x0_roll), shape, tables,
+        cfg, rules=rules,
+    )
+    assert records["log_prob"].shape == (50,)
+    assert "loss/pitch_hist" in records
+    assert bool(jnp.isfinite(records["log_prob"]).all())
+
+
+def test_respaced_sampling_runs(tables):
+    spaced = make_schedule("linear", 1000, timestep_respacing="ddim10").tables()
+    shape = (1, 1, 4, 4)
+    x0 = jnp.full(shape, 0.2)
+    cfg = SamplerConfig(sampler="ddim", eta=1.0)
+    sample, _ = sample_loop(
+        jax.random.PRNGKey(0), oracle_model(spaced, x0), shape, spaced, cfg
+    )
+    np.testing.assert_allclose(np.asarray(sample), 0.2, atol=0.1)
