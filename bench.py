@@ -21,12 +21,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 BATCH = 4
 K = 16
@@ -35,23 +40,21 @@ BENCH_GUIDED, BENCH_PLAIN = 30, 10
 
 
 def build():
-    from rule_guided_music_tpu.diffusion.guidance import (
-        CondFnSpec,
-        make_grad_cond_fn,
-        make_model_fn,
-    )
-    from rule_guided_music_tpu.diffusion.latent import make_decode_fn
+    from rule_guided_music_tpu import pipeline
     from rule_guided_music_tpu.diffusion.sampling import (
         GuidanceConfig,
         SCGConfig,
         SamplerConfig,
-        sample_loop,
     )
     from rule_guided_music_tpu.diffusion.schedule import make_schedule
     from rule_guided_music_tpu.models import AutoencoderKL, DiT_models
+    from rule_guided_music_tpu.pipeline import (
+        ClassifierSpecMeta,
+        _init_on_host,
+        make_sample_fn,
+    )
 
     dtype = jnp.bfloat16
-    rng = jax.random.PRNGKey(0)
 
     model = DiT_models["DiTRotary_XL_8"](
         input_size=(128, 16), in_channels=4, num_classes=3,
@@ -60,49 +63,31 @@ def build():
     x0 = jnp.zeros((BATCH, 4, 128, 16))
     t0 = jnp.zeros((BATCH,))
     y0 = jnp.zeros((BATCH,), dtype=jnp.int32)
-    params = model.init(rng, x0, t0, y0)
+    print("initializing XL denoiser...", flush=True)
+    params = _init_on_host(model.init, jax.random.PRNGKey(0), x0, t0, y0)
 
     vae = AutoencoderKL(dtype=dtype)
-    vae_params = vae.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, 3, 128, 128)),
+    vae_params = _init_on_host(
+        vae.init, jax.random.PRNGKey(1), jnp.zeros((1, 3, 128, 128)),
         rng=jax.random.PRNGKey(2),
     )
 
-    def vae_decode(z):
-        return vae.apply(vae_params, z, method=AutoencoderKL.decode)
-
-    decode_fn = make_decode_fn(vae_decode, scale_factor=1.2465)
-
-    # 3 classifiers: pitch (12-dim regressor), nd (16-dim), chord (dual head)
-    classifiers = []
-    for name, num_classes, chord in [
-        ("DiTRotary-S/8-cls", 12, False),
-        ("DiTRotary-S/8-cls", 16, False),
-        ("DiTRotary-S/8-chord-cls", 8, True),
+    metas, cls_params = [], []
+    for name, num_classes, fn, rule, scale in [
+        ("DiTRotary-S/8-cls", 12, "grad_nn_zt_mse", "pitch_hist", 400.0),
+        ("DiTRotary-S/8-cls", 16, "grad_nn_zt_mse", "note_density", 10.0),
+        ("DiTRotary-S/8-chord-cls", 8, "grad_nn_zt_chord",
+         "chord_progression", 10.0),
     ]:
         cls_model = DiT_models[name](
             input_size=(128, 16), in_channels=4, num_classes=num_classes,
             dtype=dtype,
         )
-        cls_params = cls_model.init(jax.random.PRNGKey(3), x0, t0)
-        classifiers.append(
-            (lambda p, m: (lambda x, t: m.apply(p, x, t)))(cls_params, cls_model)
+        cls_params.append(
+            _init_on_host(cls_model.init, jax.random.PRNGKey(3), x0, t0)
         )
-
-    specs = [
-        CondFnSpec(fn="grad_nn_zt_mse", rule_name="pitch_hist", scale=400.0,
-                   classifier=classifiers[0]),
-        CondFnSpec(fn="grad_nn_zt_mse", rule_name="note_density", scale=10.0,
-                   classifier=classifiers[1]),
-        CondFnSpec(fn="grad_nn_zt_chord", rule_name="chord_progression",
-                   scale=10.0, classifier=classifiers[2]),
-    ]
-    cond_fn = make_grad_cond_fn(specs)
-
-    model_fn = make_model_fn(
-        lambda x, t, y: model.apply(params, x, t, y),
-        num_classes=3, class_cond=True,
-    )
+        metas.append(ClassifierSpecMeta(fn=fn, rule_name=rule, scale=scale,
+                                        model=cls_model))
 
     steps = BENCH_GUIDED + BENCH_PLAIN
     tables = make_schedule("linear", 1000, timestep_respacing=str(steps)).tables()
@@ -119,55 +104,67 @@ def build():
         ),
     )
 
+    generate = make_sample_fn(
+        denoiser_model=model,
+        tables=tables,
+        sampler_config=config,
+        gen_shape=(BATCH, 4, 128, 16),
+        vae_model=vae,
+        classifier_metas=metas,
+        guidance_method="classifier_guidance",
+        use_decode=True,
+        scale_factor=1.2465,
+        num_classes=3,
+        class_cond=True,
+    )
+
+    bundle = {
+        "denoiser": params,
+        "vae": vae_params,
+        "classifiers": tuple(cls_params),
+    }
     rules = {
         "pitch_hist": jnp.ones((BATCH, 12)) / 12.0,
         "note_density": jnp.ones((BATCH, 16)) * 2.0,
         "chord_progression": jnp.ones((BATCH, 8), dtype=jnp.int32),
     }
-    y = jnp.zeros((BATCH,), dtype=jnp.int32) + 1
+    y = jnp.ones((BATCH,), dtype=jnp.int32)
 
-    def run(rng):
-        sample, _ = sample_loop(
-            rng, model_fn, (BATCH, 4, 128, 16), tables, config,
-            y=y, rules=rules, cond_fn=cond_fn, decode_fn=decode_fn,
-        )
-        return sample
-
-    denoiser_step = jax.jit(
-        lambda x, t, y: model.apply(params, x, t, y)
-    )
-    return jax.jit(run), denoiser_step
+    denoiser_step = jax.jit(model.apply)
+    return generate, bundle, rules, y, denoiser_step, params
 
 
 def main():
-    run, denoiser_step = build()
+    generate, bundle, rules, y, denoiser_step, params = build()
 
     # --- full guided chain (respaced) -----------------------------------
-    sample = run(jax.random.PRNGKey(0))
-    sample.block_until_ready()  # compile + warmup
+    print("compiling guided chain...", flush=True)
     t0 = time.perf_counter()
-    sample = run(jax.random.PRNGKey(1))
+    sample, _ = generate(jax.random.PRNGKey(0), bundle, rules, y)
+    sample.block_until_ready()
+    print(f"compile+first run: {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    sample, _ = generate(jax.random.PRNGKey(1), bundle, rules, y)
     sample.block_until_ready()
     bench_wall = time.perf_counter() - t0
 
-    full_wall = bench_wall * (FULL_GUIDED + FULL_PLAIN) / (BENCH_GUIDED + BENCH_PLAIN)
+    scale = (FULL_GUIDED + FULL_PLAIN) / (BENCH_GUIDED + BENCH_PLAIN)
+    full_wall = bench_wall * scale
     excerpts_per_min = BATCH * 60.0 / full_wall
 
     # --- bare denoiser per-step latency ----------------------------------
     x = jnp.zeros((BATCH, 4, 128, 16))
     t = jnp.zeros((BATCH,))
-    y = jnp.zeros((BATCH,), dtype=jnp.int32)
-    denoiser_step(x, t, y).block_until_ready()
+    yv = jnp.zeros((BATCH,), dtype=jnp.int32)
+    denoiser_step(params, x, t, yv).block_until_ready()
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = denoiser_step(x, t, y)
+        out = denoiser_step(params, x, t, yv)
     out.block_until_ready()
     denoiser_ms = (time.perf_counter() - t0) / reps * 1000
 
     # --- reference FLOP-model baseline (A100, generous) -------------------
-    # per guided step: (1+K)*B denoiser fwd + K*B*8 VAE chunk decodes
-    #                  + 3 classifier fwd+bwd on B
     dit_flops = 2 * 675e6 * 256                      # per example fwd
     vae_dec_flops = 75e9                             # per 128x128 chunk decode
     cls_flops = 3 * 2 * 33e6 * 257 * 3               # 3 classifiers fwd+bwd

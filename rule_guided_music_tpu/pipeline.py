@@ -3,6 +3,12 @@
 This is the glue the reference spreads across scripts/sample_rule.py:40-230
 and scripts/edit.py — shared here so every CLI stays thin and the whole
 pipeline is reusable as a library.
+
+IMPORTANT (TPU environment constraint): parameters must flow through jit
+boundaries as ARGUMENTS, never as Python closures — closed-over arrays are
+baked into the HLO as constants, which bloats programs by gigabytes and is
+rejected by the remote-compile service. ``make_sample_fn`` below builds the
+jitted generation function with an explicit params bundle argument.
 """
 
 from __future__ import annotations
@@ -32,6 +38,22 @@ from .models import AutoencoderKL, DiT_models
 from .rules.registry import FUNC_DICT, LOSS_DICT
 from .rules import chord as chord_mod
 from .utils import logger
+
+
+
+def _init_on_host(init_fn, *args, **kwargs):
+    """Run a Flax init on the CPU backend and transfer to the default device.
+
+    On this environment, init graphs compile slowly through the remote TPU
+    compiler; CPU init + one bulk transfer is much faster.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        host_args = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, cpu) if hasattr(a, "dtype") else a, args
+        )
+        params = init_fn(*host_args, **kwargs)
+    return jax.device_put(params, jax.devices()[0])
 
 
 def load_checkpoint_params(path: str, target=None):
@@ -75,7 +97,7 @@ class DenoiserBundle:
         x = jnp.zeros((1, in_channels, *input_size))
         t = jnp.zeros((1,))
         y = jnp.zeros((1,), dtype=jnp.int32) if num_classes else None
-        params = model.init(jax.random.PRNGKey(seed), x, t, y)
+        params = _init_on_host(model.init, jax.random.PRNGKey(seed), x, t, y)
         if model_path:
             params = load_checkpoint_params(model_path, target=params)
             logger.log(f"loaded denoiser weights from {model_path}")
@@ -99,8 +121,8 @@ class VAEBundle:
         dtype=jnp.bfloat16, seed: int = 1,
     ) -> "VAEBundle":
         vae = AutoencoderKL(dtype=dtype)
-        params = vae.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, 3, 128, 128)),
+        params = _init_on_host(
+            vae.init, jax.random.PRNGKey(seed), jnp.zeros((1, 3, 128, 128)),
             rng=jax.random.PRNGKey(seed + 1),
         )
         if vae_path:
@@ -154,6 +176,35 @@ def build_classifiers(
             (lambda p, m: (lambda x, t: m.apply(p, x, t)))(params, model)
         )
     return classifiers
+
+
+def build_classifier_bundles(
+    classifier_config: SimpleNamespace,
+    *,
+    input_size=(128, 16),
+    in_channels: int = 4,
+    dtype=jnp.bfloat16,
+) -> List[tuple]:
+    """Instantiate YAML classifiers as (model, params) pairs so params can be
+    threaded through jit explicitly."""
+    bundles = []
+    for i, name in enumerate(classifier_config.names):
+        num_classes = classifier_config.num_classes[i]
+        model = DiT_models[name](
+            input_size=tuple(input_size), in_channels=in_channels,
+            num_classes=num_classes, dtype=dtype,
+        )
+        x = jnp.zeros((1, in_channels, *input_size))
+        t = jnp.zeros((1,))
+        params = _init_on_host(model.init, jax.random.PRNGKey(100 + i), x, t)
+        path = classifier_config.paths[i]
+        if path and os.path.exists(path):
+            params = load_checkpoint_params(path, target=params)
+            logger.log(f"loaded classifier {name} from {path}")
+        else:
+            logger.log(f"WARNING: classifier {name}: no weights at '{path}'")
+        bundles.append((model, params))
+    return bundles
 
 
 def build_cond_fn(config: SimpleNamespace, classifiers: Optional[List[Callable]]):
@@ -241,6 +292,112 @@ def eval_rule_loss(generated: jnp.ndarray, target_rules: Dict[str, jnp.ndarray])
         results[rule_name + ".gen_rule"] = np.asarray(gen_rule).tolist()
         results[rule_name + ".loss"] = np.asarray(loss).tolist()
     return pd.DataFrame(results)
+
+
+@dataclass
+class ClassifierSpecMeta:
+    """Static metadata for one cond_fn term (model is static; params live in
+    the params bundle)."""
+
+    fn: str
+    rule_name: str
+    scale: float
+    model: Any = None          # nn.Module or None for rule-based fns
+
+
+def make_sample_fn(
+    *,
+    denoiser_model,
+    tables,
+    sampler_config: SamplerConfig,
+    gen_shape,
+    vae_model=None,
+    classifier_metas: Optional[List[ClassifierSpecMeta]] = None,
+    guidance_method: str = "no_guidance",
+    use_decode: bool = True,
+    scale_factor: float = DEFAULT_SCALE_FACTOR,
+    num_classes: int = NUM_CLASSES,
+    class_cond: bool = True,
+    cfg: bool = False,
+    w: float = 0.0,
+    collage: Optional[dict] = None,
+):
+    """Build a jitted ``generate(rng, params, rules, y[, edit])`` function.
+
+    ``params`` is a bundle {"denoiser": ..., "vae": ..., "classifiers":
+    (...,)} passed explicitly so jit treats weights as arguments.
+    ``collage``: optional dict(num_img=, overlap=, circle=) to wrap the
+    denoiser in the DiffCollage stitched-epsilon closure.
+    """
+    classifier_metas = classifier_metas or []
+
+    def generate(rng, params, rules, y=None, edit_gt=None, edit_mask=None):
+        base_apply = lambda x, t, yy: denoiser_model.apply(
+            params["denoiser"], x, t, yy
+        )
+        model_fn = make_model_fn(
+            base_apply, num_classes=num_classes, class_cond=class_cond,
+            cfg=cfg, w=w,
+        )
+        if collage:
+            from .diffusion.collage import make_cond_ind_eps_fn
+
+            model_fn = make_cond_ind_eps_fn(
+                model_fn, collage["num_img"], collage["overlap"],
+                circle=collage.get("circle", False),
+            )
+
+        decode_fn = None
+        if vae_model is not None and use_decode:
+            decode_fn = make_decode_fn(
+                lambda z: vae_model.apply(
+                    params["vae"], z, method=type(vae_model).decode
+                ),
+                scale_factor=scale_factor,
+            )
+
+        cond_fn = None
+        if classifier_metas:
+            specs = []
+            for i, meta in enumerate(classifier_metas):
+                classifier = None
+                if meta.model is not None:
+                    classifier = (
+                        lambda m, idx: lambda x, t: m.apply(
+                            params["classifiers"][idx], x, t
+                        )
+                    )(meta.model, i)
+                specs.append(
+                    CondFnSpec(fn=meta.fn, rule_name=meta.rule_name,
+                               scale=meta.scale, classifier=classifier)
+                )
+            if guidance_method == "dps":
+                cond_fn = make_value_cond_fn(specs)
+            else:
+                cond_fn = make_grad_cond_fn(specs)
+
+        return sample_loop(
+            rng, model_fn, tuple(gen_shape), tables, sampler_config,
+            y=y, rules=rules, cond_fn=cond_fn, decode_fn=decode_fn,
+            edit_gt=edit_gt, edit_mask=edit_mask,
+        )
+
+    return jax.jit(generate)
+
+
+def make_decode_rolls_fn(vae_model, scale_factor: float = DEFAULT_SCALE_FACTOR):
+    """Jitted latent->roll decoder with explicit VAE params argument."""
+
+    def decode(vae_params, latents):
+        fn = make_decode_fn(
+            lambda z: vae_model.apply(
+                vae_params, z, method=type(vae_model).decode
+            ),
+            scale_factor=scale_factor,
+        )
+        return fn(latents)
+
+    return jax.jit(decode)
 
 
 def summarize_losses(all_results) -> "Any":

@@ -244,7 +244,8 @@ class TrainLoop:
         tables: Tables,
         data,
         config: TrainConfig,
-        vae_encode: Optional[Callable] = None,
+        vae_encode: Optional[Callable] = None,   # (vae_params, chunks) -> moments
+        vae_params=None,
         schedule_sampler: Optional[ScheduleSampler] = None,
         checkpoint_dir: Optional[str] = None,
         eval_fn: Optional[Callable] = None,
@@ -284,10 +285,12 @@ class TrainLoop:
             self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
         else:
             self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        self.vae_params = vae_params
         if vae_encode is not None:
+            # vae params are an explicit jit argument (no giant HLO constants)
             self._encode = jax.jit(
-                lambda batch: get_kl_input(
-                    vae_encode, batch,
+                lambda vp, batch: get_kl_input(
+                    lambda chunks: vae_encode(vp, chunks), batch,
                     scale_factor=config.scale_factor,
                     shift_size=config.shift_size,
                 )
@@ -336,7 +339,7 @@ class TrainLoop:
         cfg = self.config
         batch = jnp.asarray(batch)
         if self.vae_encode is not None:
-            latents = self._encode(batch)
+            latents = self._encode(self.vae_params, batch)
             rep = latents.shape[0] // batch.shape[0]
         else:
             latents = batch

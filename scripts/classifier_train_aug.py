@@ -63,8 +63,11 @@ def main():
     opt_state = optimizer.init(params)
 
     encode = jax.jit(
-        lambda batch: get_kl_input(
-            vae.raw_encode_moments, batch,
+        lambda vp, batch: get_kl_input(
+            lambda chunks: vae.model.apply(
+                vp, chunks, method=type(vae.model).encode_moments
+            ),
+            batch,
             scale_factor=args.scale_factor, shift_size=args.shift_size,
         )
     )
@@ -113,7 +116,7 @@ def main():
     logger.log(f"training classifier for rule '{args.rule}'...")
     for step in range(args.iterations):
         batch, cond = next(data)
-        latents = encode(jnp.asarray(batch))
+        latents = encode(vae.params, jnp.asarray(batch))
         rep = latents.shape[0] // batch.shape[0]
         labels = {
             k: jnp.asarray(np.repeat(np.asarray(v), rep, axis=0))

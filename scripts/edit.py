@@ -129,17 +129,29 @@ def main():
     vae = pipeline.VAEBundle.create(
         vae_path=args.vae_path, scale_factor=args.scale_factor
     )
-    classifiers = (
-        pipeline.build_classifiers(
-            config.guidance.cond_fn.classifiers,
-            input_size=args.image_size, in_channels=args.in_channels,
-        ) if config.guidance.nn else None
-    )
-    cond_fn = pipeline.build_cond_fn(config, classifiers)
-    model_fn_used = make_model_fn(
-        denoiser.apply_fn, num_classes=args.num_classes,
-        class_cond=args.class_cond, cfg=args.cfg, w=args.w,
-    )
+    classifier_metas, classifier_params = [], []
+    if config.guidance.nn:
+        cc = config.guidance.cond_fn.classifiers
+        for i, (cls_model, cls_params) in enumerate(
+            pipeline.build_classifier_bundles(
+                cc, input_size=args.image_size, in_channels=args.in_channels,
+            )
+        ):
+            classifier_metas.append(pipeline.ClassifierSpecMeta(
+                fn=config.guidance.cond_fn.fns[i],
+                rule_name=config.guidance.cond_fn.rule_names[i],
+                scale=float(config.guidance.cond_fn.classifier_scales[i]),
+                model=cls_model,
+            ))
+            classifier_params.append(cls_params)
+    elif getattr(config.guidance, "cond_fn", None) is not None:
+        for i, fn in enumerate(config.guidance.cond_fn.fns):
+            classifier_metas.append(pipeline.ClassifierSpecMeta(
+                fn=fn,
+                rule_name=config.guidance.cond_fn.rule_names[i],
+                scale=float(config.guidance.cond_fn.classifier_scales[i]),
+                model=None,
+            ))
     gen_shape = (args.batch_size, args.in_channels,
                  args.image_size[0], args.image_size[1])
 
@@ -165,7 +177,15 @@ def main():
                      constant_values=-1.0)[:, :, :, :gen_shape[2] * 8]
         gt = jnp.tile(gt, (args.batch_size, 1, 1, 1))
 
-    gt_latent = vae.encode(gt)
+    from rule_guided_music_tpu.diffusion.latent import make_encode_fn
+
+    encode_gt = jax.jit(
+        lambda vp, x: make_encode_fn(
+            lambda c: vae.model.apply(vp, c, method=type(vae.model).encode_moments),
+            scale_factor=args.scale_factor,
+        )(x)
+    )
+    gt_latent = encode_gt(vae.params, gt)
     mask = jnp.ones_like(gt_latent).at[:, :, l_start:l_end, :].set(0.0)
 
     gt_partial = gt[:, :, :, l_start * 8:l_end * 8]
@@ -183,14 +203,27 @@ def main():
     save_dir_gt = os.path.join(save_dir, "gt")
     os.makedirs(save_dir_gt, exist_ok=True)
 
-    @jax.jit
-    def generate(rng):
-        return sample_loop(
-            rng, model_fn_used, gen_shape, tables, sampler_config,
-            y=y, rules=rules, cond_fn=cond_fn,
-            decode_fn=vae.decode if config.guidance.vae else None,
-            edit_gt=gt_latent, edit_mask=mask,
-        )
+    params_bundle = {
+        "denoiser": denoiser.params,
+        "vae": vae.params,
+        "classifiers": tuple(classifier_params),
+    }
+    generate = pipeline.make_sample_fn(
+        denoiser_model=denoiser.model,
+        tables=tables,
+        sampler_config=sampler_config,
+        gen_shape=gen_shape,
+        vae_model=vae.model,
+        classifier_metas=classifier_metas,
+        guidance_method=getattr(config.guidance, "method", "no_guidance"),
+        use_decode=bool(config.guidance.vae),
+        scale_factor=args.scale_factor,
+        num_classes=args.num_classes,
+        class_cond=args.class_cond,
+        cfg=args.cfg,
+        w=args.w,
+    )
+    decode_rolls = pipeline.make_decode_rolls_fn(vae.model, args.scale_factor)
 
     logger.log("sampling (edit)...")
     import pandas as pd
@@ -199,8 +232,9 @@ def main():
     count, rng = 0, jax.random.PRNGKey(args.seed)
     while count < args.num_samples:
         rng, sub = jax.random.split(rng)
-        latents, _ = generate(sub)
-        rolls = vae.decode(latents)
+        latents, _ = generate(sub, params_bundle, rules, y,
+                              edit_gt=gt_latent, edit_mask=mask)
+        rolls = decode_rolls(vae.params, latents)
         arr = finalize_decoded_sample(np.asarray(rolls), BACKGROUND_THRESHOLD)
         arr_gt = finalize_decoded_sample(np.asarray(gt), threshold=-2.0)
         if args.save_files:

@@ -75,21 +75,37 @@ def main():
         vae_path=args.vae_path, scale_factor=args.scale_factor
     ) if args.vae else None
 
-    classifiers = None
+    classifier_metas = []
+    classifier_params = []
     if config.guidance.nn:
         logger.log("loading classifiers...")
-        classifiers = pipeline.build_classifiers(
-            config.guidance.cond_fn.classifiers,
-            input_size=args.image_size, in_channels=args.in_channels,
+        cc = config.guidance.cond_fn.classifiers
+        bundles = pipeline.build_classifier_bundles(
+            cc, input_size=args.image_size, in_channels=args.in_channels,
         )
-    cond_fn = build_cond = pipeline.build_cond_fn(config, classifiers)
+        for i, (cls_model, cls_params) in enumerate(bundles):
+            classifier_metas.append(pipeline.ClassifierSpecMeta(
+                fn=config.guidance.cond_fn.fns[i],
+                rule_name=config.guidance.cond_fn.rule_names[i],
+                scale=float(config.guidance.cond_fn.classifier_scales[i]),
+                model=cls_model,
+            ))
+            classifier_params.append(cls_params)
+    elif getattr(config.guidance, "cond_fn", None) is not None:
+        for i, fn in enumerate(config.guidance.cond_fn.fns):
+            classifier_metas.append(pipeline.ClassifierSpecMeta(
+                fn=fn,
+                rule_name=config.guidance.cond_fn.rule_names[i],
+                scale=float(config.guidance.cond_fn.classifier_scales[i]),
+                model=None,
+            ))
 
-    # --- model closure (CFG / DiffCollage) -------------------------------
+    # --- generation geometry (plain vs DiffCollage) ----------------------
+    collage = None
     if config.sampling.diff_collage:
         from rule_guided_music_tpu.diffusion.collage import (
             circle_length,
             linear_length,
-            make_cond_ind_eps_fn,
         )
 
         circle = config.dc.type == "circle"
@@ -97,20 +113,10 @@ def main():
         num_img = config.dc.num_img
         t_long = (circle_length(num_img, overlap) if circle
                   else linear_length(num_img, overlap))
-        base_model_fn = make_model_fn(
-            denoiser.apply_fn, num_classes=args.num_classes,
-            class_cond=args.class_cond, cfg=args.cfg, w=args.w,
-        )
-        model_fn_used = make_cond_ind_eps_fn(
-            base_model_fn, num_img, overlap, circle=circle
-        )
+        collage = dict(num_img=num_img, overlap=overlap, circle=circle)
         gen_shape = (args.batch_size, args.in_channels, t_long,
                      args.image_size[1])
     else:
-        model_fn_used = make_model_fn(
-            denoiser.apply_fn, num_classes=args.num_classes,
-            class_cond=args.class_cond, cfg=args.cfg, w=args.w,
-        )
         gen_shape = (args.batch_size, args.in_channels,
                      args.image_size[0], args.image_size[1])
 
@@ -153,15 +159,29 @@ def main():
     save_dir = logger.get_dir()
     os.makedirs(os.path.expanduser(save_dir), exist_ok=True)
 
-    decode_for_guidance = vae.decode if (vae and config.guidance.vae) else None
-
-    @jax.jit
-    def generate(rng):
-        return sample_loop(
-            rng, model_fn_used, gen_shape, tables, sampler_config,
-            y=y, rules=rules, cond_fn=cond_fn,
-            decode_fn=decode_for_guidance,
-        )
+    params_bundle = {
+        "denoiser": denoiser.params,
+        "vae": vae.params if vae else None,
+        "classifiers": tuple(classifier_params),
+    }
+    generate = pipeline.make_sample_fn(
+        denoiser_model=denoiser.model,
+        tables=tables,
+        sampler_config=sampler_config,
+        gen_shape=gen_shape,
+        vae_model=vae.model if vae else None,
+        classifier_metas=classifier_metas,
+        guidance_method=getattr(config.guidance, "method", "no_guidance"),
+        use_decode=bool(config.guidance.vae and vae),
+        scale_factor=args.scale_factor,
+        num_classes=args.num_classes,
+        class_cond=args.class_cond,
+        cfg=args.cfg,
+        w=args.w,
+        collage=collage,
+    )
+    decode_rolls = (pipeline.make_decode_rolls_fn(vae.model, args.scale_factor)
+                    if vae else None)
 
     logger.log("sampling...")
     import pandas as pd
@@ -170,8 +190,8 @@ def main():
     count, rng = 0, jax.random.PRNGKey(args.seed)
     while count < args.num_samples:
         rng, sub = jax.random.split(rng)
-        latents, records = generate(sub)
-        rolls = vae.decode(latents) if vae else latents
+        latents, records = generate(sub, params_bundle, rules, y)
+        rolls = decode_rolls(vae.params, latents) if vae else latents
         arr = finalize_decoded_sample(np.asarray(rolls), BACKGROUND_THRESHOLD)
         if args.save_files:
             save_piano_roll_midi(

@@ -92,7 +92,10 @@ def main():
         tables=tables,
         data=data,
         config=config,
-        vae_encode=vae.raw_encode_moments,
+        vae_encode=lambda vp, chunks: vae.model.apply(
+            vp, chunks, method=type(vae.model).encode_moments
+        ),
+        vae_params=vae.params,
         schedule_sampler=create_named_schedule_sampler(
             args.schedule_sampler, tables.num_timesteps
         ),
