@@ -145,9 +145,9 @@ def main():
                 os.path.abspath(logger.get_dir()), "checkpoints",
                 f"model{step:06d}",
             )
-            ocp.StandardCheckpointer().save(
-                path, jax.device_get(params), force=True
-            )
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, jax.device_get(params), force=True)
+            ckptr.wait_until_finished()
             logger.log(f"saved {path}")
 
 

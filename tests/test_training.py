@@ -1,0 +1,200 @@
+"""Training runtime tests: train step, EMA, recombination, resamplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rule_guided_music_tpu.diffusion import gaussian as gd
+from rule_guided_music_tpu.diffusion.schedule import make_schedule
+from rule_guided_music_tpu.training.resample import (
+    LossSecondMomentResampler,
+    UniformSampler,
+    create_named_schedule_sampler,
+)
+from rule_guided_music_tpu.training.train_loop import (
+    TrainConfig,
+    get_kl_input,
+    make_optimizer,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return make_schedule("linear", 100).tables()
+
+
+def _tiny_model():
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, t, y=None):
+            b, c, h, w = x.shape
+            flat = x.reshape(b, -1)
+            temb = t[:, None] / 100.0
+            out = nn.Dense(64)(jnp.concatenate([flat, temb], axis=-1))
+            out = nn.silu(out)
+            out = nn.Dense(c * h * w)(out)
+            return out.reshape(b, c, h, w)
+
+    return Tiny()
+
+
+def test_train_step_reduces_loss(tables):
+    model = _tiny_model()
+    x = jnp.zeros((8, 1, 4, 4))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((8,)))
+    config = TrainConfig(lr=1e-2, ema_rate=0.9)
+    optimizer = make_optimizer(config)
+
+    def model_apply(p, x, model_t, y, rng):
+        return model.apply(p, x, model_t, y)
+
+    step_fn = jax.jit(make_train_step(model_apply, tables, optimizer, config))
+    state = {
+        "params": params,
+        "ema_params": params,
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    # A fixed dataset: x0 constant; the model should learn to predict noise
+    # poorly at first, loss should drop over steps.
+    rng = jax.random.PRNGKey(1)
+    x0 = jnp.full((8, 1, 4, 4), 0.5)
+    losses = []
+    for i in range(30):
+        rng, s1, s2 = jax.random.split(rng, 3)
+        t = jax.random.randint(s1, (8,), 0, 100)
+        state, metrics = step_fn(state, x0, t, jnp.ones((8,)), None, s2)
+        losses.append(float(metrics["loss"]))
+    assert int(state["step"]) == 30
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_ema_update_moves_toward_params(tables):
+    model = _tiny_model()
+    x = jnp.zeros((2, 1, 4, 4))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+    config = TrainConfig(lr=1e-2, ema_rate=0.5)
+    optimizer = make_optimizer(config)
+
+    def model_apply(p, x, model_t, y, rng):
+        return model.apply(p, x, model_t, y)
+
+    step_fn = jax.jit(make_train_step(model_apply, tables, optimizer, config))
+    state = {
+        "params": params,
+        "ema_params": jax.tree_util.tree_map(jnp.zeros_like, params),
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    state, _ = step_fn(
+        state, jnp.ones((2, 1, 4, 4)), jnp.array([5, 50]), jnp.ones((2,)),
+        None, jax.random.PRNGKey(2),
+    )
+    # ema = 0.5*0 + 0.5*params_new: roughly half of params
+    p_leaf = jax.tree_util.tree_leaves(state["params"])[0]
+    e_leaf = jax.tree_util.tree_leaves(state["ema_params"])[0]
+    np.testing.assert_allclose(np.asarray(e_leaf), np.asarray(p_leaf) / 2,
+                               atol=1e-4)
+
+
+def test_microbatch_accumulation_matches_full_batch(tables):
+    model = _tiny_model()
+    x = jnp.zeros((8, 1, 4, 4))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((8,)))
+
+    def model_apply(p, x, model_t, y, rng):
+        return model.apply(p, x, model_t, y)
+
+    def run(microbatch):
+        config = TrainConfig(lr=1e-3, ema_rate=0.99, microbatch=microbatch)
+        optimizer = make_optimizer(config)
+        step_fn = jax.jit(
+            make_train_step(model_apply, tables, optimizer, config)
+        )
+        state = {
+            "params": params,
+            "ema_params": params,
+            "opt_state": optimizer.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        x0 = jnp.linspace(-1, 1, 8 * 16).reshape(8, 1, 4, 4)
+        t = jnp.arange(8) * 10
+        state, metrics = step_fn(
+            state, x0, t, jnp.ones((8,)), None, jax.random.PRNGKey(7)
+        )
+        return state, metrics
+
+    # NOTE: microbatched and full-batch paths consume rngs differently, so
+    # exact equality isn't expected — but shapes/finite-ness must hold and
+    # per-example losses must cover the full batch.
+    state_m, metrics_m = run(microbatch=4)
+    assert metrics_m["per_example_loss"].shape == (8,)
+    assert bool(jnp.isfinite(metrics_m["per_example_loss"]).all())
+    state_f, metrics_f = run(microbatch=-1)
+    assert metrics_f["per_example_loss"].shape == (8,)
+
+
+def test_get_kl_input_geometry():
+    """Shifted-window recombination: 20-chunk roll -> 4 overlapping excerpts
+    (train_util.py:403-429 geometry with encode_rep=4)."""
+
+    def fake_encode(chunks):
+        # (N, 3, 128, 128) -> (N, 8, 16, 16) moments; mean half encodes the
+        # chunk index stored in the roll so we can check window placement.
+        n = chunks.shape[0]
+        val = chunks[:, 0, 0, 0]
+        mean = jnp.ones((n, 4, 16, 16)) * val[:, None, None, None]
+        logvar = jnp.zeros((n, 4, 16, 16))
+        return jnp.concatenate([mean, logvar], axis=1)
+
+    batch = jnp.zeros((2, 3, 128, 20 * 128))
+    for i in range(20):
+        batch = batch.at[:, 0, 0, i * 128].set(float(i))
+    out = get_kl_input(fake_encode, batch, scale_factor=2.0, shift_size=4)
+    assert out.shape == (8, 4, 128, 16)  # 2 * 4 windows
+    # window w of example b starts at chunk 4*w: latent rows [0:16) carry
+    # chunk (4w) value * scale_factor
+    out = np.asarray(out)
+    assert out[0, 0, 0, 0] == pytest.approx(0.0 * 2)
+    assert out[1, 0, 0, 0] == pytest.approx(4.0 * 2)
+    assert out[2, 0, 0, 0] == pytest.approx(8.0 * 2)
+    # second example's windows follow
+    assert out[4, 0, 0, 0] == pytest.approx(0.0 * 2)
+
+
+def test_uniform_sampler():
+    s = UniformSampler(100)
+    rng = np.random.default_rng(0)
+    t, w = s.sample(512, rng)
+    assert t.shape == (512,) and w.shape == (512,)
+    assert t.min() >= 0 and t.max() < 100
+    np.testing.assert_allclose(w, 1.0)
+
+
+def test_loss_second_moment_resampler_warmup_and_weighting():
+    s = LossSecondMomentResampler(10, history_per_term=2, uniform_prob=0.0)
+    # before warmup: uniform
+    np.testing.assert_allclose(s.weights(), 1.0)
+    # feed losses: timestep 3 has much higher loss
+    for _ in range(2):
+        s.update_with_all_losses(list(range(10)), [1.0] * 10)
+    s._loss_history[3, :] = 10.0
+    w = s.weights()
+    assert w[3] > w[0]
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+
+
+def test_create_named_schedule_sampler():
+    assert isinstance(create_named_schedule_sampler("uniform", 10),
+                      UniformSampler)
+    assert isinstance(
+        create_named_schedule_sampler("loss-second-moment", 10),
+        LossSecondMomentResampler,
+    )
+    with pytest.raises(NotImplementedError):
+        create_named_schedule_sampler("bogus", 10)
