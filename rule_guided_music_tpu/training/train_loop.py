@@ -268,7 +268,9 @@ class TrainLoop:
         opt_state = optimizer.init(init_params)
         self.state = {
             "params": init_params,
-            "ema_params": jax.tree_util.tree_map(lambda x: x, init_params),
+            # distinct buffers: the step donates the state, and aliased
+            # params/ema leaves would trip XLA's donation checker
+            "ema_params": jax.tree_util.tree_map(jnp.copy, init_params),
             "opt_state": opt_state,
             "step": jnp.zeros((), dtype=jnp.int32),
         }

@@ -1,0 +1,107 @@
+"""Data pipeline tests: manifests, augmentation, batching, sharding."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from rule_guided_music_tpu.data.datasets import (
+    PianoRollDataset,
+    key_shift,
+    load_data,
+    load_manifest,
+    time_stretch,
+)
+
+
+@pytest.fixture
+def dataset_dir(tmp_path):
+    paths = []
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        roll = np.zeros((3, 128, 1280), dtype=np.uint8)
+        pitch = 60 + i
+        roll[0, pitch, :640] = 90
+        roll[1, pitch, 0] = 127
+        roll[2, 21:109, 100] = 72
+        path = tmp_path / f"seq{i}.npy"
+        np.save(path, roll)
+        paths.append(str(path))
+    csv_path = tmp_path / "train.csv"
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["midi_filename", "classes"])
+        for i, p in enumerate(paths):
+            writer.writerow([p, i % 3])
+    return str(csv_path), paths
+
+
+def test_load_manifest(dataset_dir):
+    csv_path, paths = dataset_dir
+    files, classes = load_manifest(csv_path)
+    assert files == paths
+    assert classes == [0, 1, 2, 0, 1, 2]
+
+
+def test_key_shift_rolls_notes_not_pedal():
+    x = np.full((3, 128, 4), -1.0, dtype=np.float32)
+    x[0, 60, :] = 0.5
+    x[1, 60, 0] = 1.0
+    x[2, 21:109, :] = 0.2
+    out = key_shift(x.copy(), 2)
+    assert out[0, 58, 0] == 0.5      # roll k>0 shifts pitches down-index
+    assert out[0, 60, 0] == -1.0
+    assert out[2, 60, 0] == pytest.approx(0.2)  # pedal untouched
+
+
+def test_time_stretch_preserves_onsets():
+    rng = np.random.default_rng(3)
+    arr = np.full((3, 128, 1280), -1.0, dtype=np.float32)
+    arr[0, 60, 100:300] = 0.5
+    arr[1, 60, 100] = 1.0
+    out = time_stretch(arr, 1024, rng)
+    assert out.shape == (3, 128, 1024)
+    # onset channel stays sparse: roughly one onset survives
+    onsets = (out[1] > 0).sum()
+    assert onsets <= 3
+
+
+def test_dataset_item_and_labels(dataset_dir):
+    csv_path, paths = dataset_dir
+    files, classes = load_manifest(csv_path)
+    ds = PianoRollDataset(paths=files, classes=classes, image_size=1024,
+                          pitch_shift=False, time_stretch=False)
+    arr, cond = ds[0]
+    assert arr.shape == (3, 128, 1024)
+    assert arr.min() >= -1.0 and arr.max() <= 1.0
+    assert cond["y"] == 0
+
+
+def test_dataset_sharding(dataset_dir):
+    csv_path, paths = dataset_dir
+    files, classes = load_manifest(csv_path)
+    ds0 = PianoRollDataset(paths=files, classes=classes, shard=0, num_shards=2)
+    ds1 = PianoRollDataset(paths=files, classes=classes, shard=1, num_shards=2)
+    assert len(ds0) == 3 and len(ds1) == 3
+    assert set(ds0.paths).isdisjoint(ds1.paths)
+
+
+def test_load_data_generator(dataset_dir):
+    csv_path, _ = dataset_dir
+    gen = load_data(data_dir=csv_path, batch_size=2, class_cond=True,
+                    image_size=1024, prefetch=0, deterministic=True)
+    batch, cond = next(gen)
+    assert batch.shape == (2, 3, 128, 1024)
+    assert cond["y"].shape == (2,)
+    batch2, _ = next(gen)
+    assert batch2.shape == (2, 3, 128, 1024)
+
+
+def test_load_data_with_rule_labels(dataset_dir):
+    csv_path, _ = dataset_dir
+    gen = load_data(data_dir=csv_path, batch_size=2, class_cond=False,
+                    image_size=1024, rule="note_density", prefetch=0,
+                    deterministic=True)
+    batch, cond = next(gen)
+    assert cond["note_density"].shape == (2, 16)
