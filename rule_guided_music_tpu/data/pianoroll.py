@@ -83,13 +83,16 @@ def midi_to_roll(
     return np.stack([piano, onset, pedal], axis=0)
 
 
-def roll_to_midi(full_roll: np.ndarray, fs: float = 100, program: int = 0) -> MidiData:
+def roll_to_midi(full_roll: np.ndarray, fs: float = 100, program: int = 0,
+                 use_native: bool = True) -> MidiData:
     """(3|2, 128, T) or (128, T) float roll in [0, 127] -> MidiData.
 
     Port of piano_roll_to_pretty_midi (piano_roll_to_chord.py:167-275):
     stateful per-pitch velocity-change scan; with an onset channel, held
     spans are split into repeated notes at each onset, and spans without any
-    onset are dropped.
+    onset are dropped.  Uses the native C++ codec when available
+    (native/roll_codec.cpp, exact-semantics tested); set ``use_native=False``
+    to force the pure-Python scan.
     """
     full_roll = np.asarray(full_roll, dtype=np.float32).copy()
     is_onset = False
@@ -117,6 +120,22 @@ def roll_to_midi(full_roll: np.ndarray, fs: float = 100, program: int = 0) -> Mi
     piano_roll[piano_roll <= background] = 0
 
     midi = MidiData(program=program)
+
+    if use_native:
+        from ..native import extract_notes_native
+
+        events = extract_notes_native(
+            piano_roll, onset_roll if is_onset else None, fs, MIN_PIANO
+        )
+        if events is not None:
+            midi.notes = [
+                Note(velocity=v, pitch=pch, start=s_, end=e_)
+                for pch, v, s_, e_ in events
+            ]
+            if is_pedal:
+                _append_pedal_ccs(midi, pedal_1d, fs)
+            midi.notes.sort(key=lambda n: (n.start, n.pitch))
+            return midi
 
     padded = np.pad(piano_roll, [(0, 0), (1, 1)], "constant")
     binary = padded.copy()
@@ -166,19 +185,25 @@ def roll_to_midi(full_roll: np.ndarray, fs: float = 100, program: int = 0) -> Mi
             prev_velocities[note] = 0
 
     if is_pedal:
-        for (t_idx,) in zip(*np.nonzero(pedal_1d)):
-            val = int(pedal_1d[t_idx])
-            if val < 16:
-                val = 0  # bins 1-16 quantize back to 0
-            if val > 112:
-                val = 127
-            midi.control_changes.append(
-                ControlChange(
-                    number=CC_SUSTAIN_PEDAL, value=val, time=float(t_idx / fs)
-                )
-            )
+        _append_pedal_ccs(midi, pedal_1d, fs)
     midi.notes.sort(key=lambda n: (n.start, n.pitch))
     return midi
+
+
+def _append_pedal_ccs(midi: MidiData, pedal_1d: np.ndarray, fs: float):
+    """Write CC64 events from the 1-D pedal lane (piano_roll_to_chord
+    :259-273 value snapping)."""
+    for (t_idx,) in zip(*np.nonzero(pedal_1d)):
+        val = int(pedal_1d[t_idx])
+        if val < 16:
+            val = 0  # bins 1-16 quantize back to 0
+        if val > 112:
+            val = 127
+        midi.control_changes.append(
+            ControlChange(
+                number=CC_SUSTAIN_PEDAL, value=val, time=float(t_idx / fs)
+            )
+        )
 
 
 def finalize_decoded_sample(

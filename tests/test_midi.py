@@ -190,3 +190,60 @@ def test_first_column_onset_fix(tmp_path):
     back = read_midi(paths[0])
     assert len(back.notes) == 1
     assert back.notes[0].pitch == 65
+
+
+def test_native_codec_matches_python_scan():
+    """The C++ event scan must agree event-for-event with the Python scan."""
+    from rule_guided_music_tpu.data.pianoroll import roll_to_midi
+    from rule_guided_music_tpu.native import is_available
+
+    if not is_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        roll = np.zeros((3, 128, 512), dtype=np.float32)
+        for _ in range(40):
+            p = int(rng.integers(21, 109))
+            s = int(rng.integers(0, 480))
+            e = int(rng.integers(s + 1, min(s + 120, 512)))
+            v = int(rng.integers(20, 127))
+            roll[0, p, s:e] = np.maximum(roll[0, p, s:e], v)
+            roll[1, p, s] = 127
+        roll[2, 21:109, 50] = 72
+        native = roll_to_midi(roll.copy(), fs=100, use_native=True)
+        python = roll_to_midi(roll.copy(), fs=100, use_native=False)
+        nat = [(n.pitch, n.velocity, round(n.start, 6), round(n.end, 6))
+               for n in native.notes]
+        py = [(n.pitch, n.velocity, round(n.start, 6), round(n.end, 6))
+              for n in python.notes]
+        assert nat == py, f"trial {trial}: {len(nat)} vs {len(py)} events"
+        assert len(native.control_changes) == len(python.control_changes)
+
+
+def test_native_codec_speedup_sanity():
+    from rule_guided_music_tpu.native import is_available
+
+    if not is_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    import time
+
+    from rule_guided_music_tpu.data.pianoroll import roll_to_midi
+
+    roll = np.zeros((3, 128, 1024), dtype=np.float32)
+    for p in range(30, 100):
+        roll[0, p, (p * 7) % 900:(p * 7) % 900 + 60] = 80
+        roll[1, p, (p * 7) % 900] = 127
+    t0 = time.perf_counter()
+    for _ in range(10):
+        roll_to_midi(roll.copy(), use_native=True)
+    native_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(10):
+        roll_to_midi(roll.copy(), use_native=False)
+    python_t = time.perf_counter() - t0
+    # the native path must not be slower (usually 10-100x faster)
+    assert native_t < python_t * 1.5
