@@ -218,6 +218,9 @@ def main():
         rec_np = {k: np.asarray(v) for k, v in records.items()}
         with open(os.path.join(save_dir, "record.pkl"), "wb") as f:
             pickle.dump(rec_np, f)
+        from rule_guided_music_tpu.utils.viz import plot_records
+
+        plot_records(rec_np, save_dir)
         logger.log(f"wrote per-step diagnostics to {save_dir}/record.pkl")
 
     logger.log("sampling complete")

@@ -105,3 +105,16 @@ def test_load_data_with_rule_labels(dataset_dir):
                     deterministic=True)
     batch, cond = next(gen)
     assert cond["note_density"].shape == (2, 16)
+
+
+def test_composer_clusters():
+    from rule_guided_music_tpu.data.composer_clusters import (
+        NUM_COMPOSER_CLUSTERS,
+        cluster_for,
+    )
+
+    assert NUM_COMPOSER_CLUSTERS == 9
+    assert cluster_for("Johann Sebastian Bach") == 0
+    assert cluster_for("Frédéric Chopin") == 3
+    assert cluster_for("Igor Stravinsky") == 8
+    assert cluster_for("Unknown Person") is None
