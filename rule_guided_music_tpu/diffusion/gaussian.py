@@ -316,3 +316,58 @@ def training_losses(
     terms["mse"] = mean_flat((target - model_output) ** 2)
     terms["loss"] = terms["mse"] + terms["vb"] if "vb" in terms else terms["mse"]
     return terms
+
+
+def prior_bpd(tables: Tables, x_start: jnp.ndarray) -> jnp.ndarray:
+    """Prior KL term of the VLB in bits/dim (gaussian_diffusion.py:1255-1271)."""
+    t = jnp.full((x_start.shape[0],), tables.num_timesteps - 1, dtype=jnp.int32)
+    qt_mean, _, qt_log_var = q_mean_variance(tables, x_start, t)
+    kl = normal_kl(qt_mean, qt_log_var, 0.0, 0.0)
+    return mean_flat(kl) / np.log(2.0)
+
+
+def calc_bpd_loop(
+    tables: Tables,
+    model_fn: Callable,
+    x_start: jnp.ndarray,
+    rng: jnp.ndarray,
+    *,
+    mean_type: ModelMeanType = ModelMeanType.EPSILON,
+    var_type: ModelVarType = ModelVarType.FIXED_LARGE,
+    clip_denoised: bool = True,
+    model_kwargs: Optional[dict] = None,
+):
+    """Full VLB in bits/dim as one scan over timesteps
+    (gaussian_diffusion.py:1273-1328). Returns dict with total_bpd,
+    prior_bpd, and per-timestep vb / xstart_mse / mse arrays (T, N)."""
+    model_kwargs = model_kwargs or {}
+    b = x_start.shape[0]
+
+    def body(carry, t_scalar):
+        rng = carry
+        rng, sub = jax.random.split(rng)
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        noise = jax.random.normal(sub, x_start.shape)
+        x_t = q_sample(tables, x_start, t, noise)
+        model_output = model_fn(x_t, tables.model_t[t], **model_kwargs)
+        vb, pred_xstart = vb_terms_bpd(
+            tables, model_output, x_start, x_t, t,
+            mean_type=mean_type, var_type=var_type,
+            clip_denoised=clip_denoised,
+        )
+        xstart_mse = mean_flat((pred_xstart - x_start) ** 2)
+        eps = predict_eps_from_xstart(tables, x_t, t, pred_xstart)
+        mse = mean_flat((eps - noise) ** 2)
+        return rng, (vb, xstart_mse, mse)
+
+    ts = jnp.arange(tables.num_timesteps - 1, -1, -1)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(body, rng, ts)
+    prior = prior_bpd(tables, x_start)
+    total = vb.sum(axis=0) + prior
+    return {
+        "total_bpd": total,
+        "prior_bpd": prior,
+        "vb": vb,
+        "xstart_mse": xstart_mse,
+        "mse": mse,
+    }

@@ -198,3 +198,32 @@ def test_respaced_chain_matches_full_chain_marginals():
         a = gd.q_sample(spaced, x0, jnp.array([i_spaced]), noise)
         b = gd.q_sample(full, x0, jnp.array([i_orig]), noise)
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_prior_bpd_small_for_standard_normal(tables):
+    # x0 ~ 0 => q(x_T|x0) ~ N(0, I) => prior KL ~ 0
+    import rule_guided_music_tpu.diffusion.gaussian as gd2
+
+    x0 = jnp.zeros((2, 1, 4, 4))
+    prior = gd2.prior_bpd(tables, x0)
+    assert float(prior.max()) < 0.01
+
+
+def test_calc_bpd_loop_perfect_model(tables):
+    import rule_guided_music_tpu.diffusion.gaussian as gd2
+
+    x0 = jnp.full((2, 1, 4, 4), 0.3)
+
+    def perfect_model(x_t, model_t):
+        t = model_t.astype(jnp.int32)
+        return gd2.predict_eps_from_xstart(tables, x_t, t, x0)
+
+    out = gd2.calc_bpd_loop(
+        tables, perfect_model, x0, jax.random.PRNGKey(0), clip_denoised=False
+    )
+    assert out["vb"].shape == (100, 2)
+    assert bool(jnp.isfinite(out["total_bpd"]).all())
+    # perfect eps-prediction => eps mse ~ 0 and xstart mse ~ 0
+    np.testing.assert_allclose(np.asarray(out["mse"]).mean(), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["xstart_mse"]).mean(), 0.0,
+                               atol=1e-6)
