@@ -419,3 +419,37 @@ def sample_loop(
 
     (final, _), records = jax.lax.scan(step, (x_init, rng), ts)
     return final, records
+
+
+def ddim_reverse_loop(
+    rng: jnp.ndarray,
+    model_fn: Callable,
+    x0: jnp.ndarray,
+    tables: Tables,
+    *,
+    y: Optional[jnp.ndarray] = None,
+    var_type: gd.ModelVarType = gd.ModelVarType.FIXED_LARGE,
+    t_stop: Optional[int] = None,
+):
+    """Deterministic DDIM reverse ODE: encode x0 up the chain
+    (gaussian_diffusion.py:978-1014). Returns x_{t_stop} (default x_T)."""
+    del rng  # deterministic; kept for API symmetry
+    b = x0.shape[0]
+    num_steps = t_stop if t_stop is not None else tables.num_timesteps
+
+    def step(x, t_scalar):
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        model_out = model_fn(x, tables.model_t[t], y)
+        pmv = gd.p_mean_variance(
+            tables, model_out, x, t, var_type=var_type, clip_denoised=False
+        )
+        eps = gd.predict_eps_from_xstart(tables, x, t, pmv.pred_xstart)
+        acp_next = gd._extract(tables.alphas_cumprod_next, t, x.ndim)
+        x_next = (
+            pmv.pred_xstart * jnp.sqrt(acp_next)
+            + jnp.sqrt(jnp.maximum(1 - acp_next, 0.0)) * eps
+        )
+        return x_next, None
+
+    x, _ = jax.lax.scan(step, x0, jnp.arange(num_steps))
+    return x

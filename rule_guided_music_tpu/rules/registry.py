@@ -23,6 +23,9 @@ FUNC_DICT = {
     # lower time resolution (pixel-space, fs=12.5) variants
     "note_density_pixel": partial(tensor_rules.note_density, interval=16),
     "chord_progression_pixel": partial(chord.get_chords, fs=12.5, window_size=1.28),
+    # differentiable surrogates for DPS-through-rule guidance
+    "note_density_soft": tensor_rules.soft_note_density,
+    "pitch_hist_soft": tensor_rules.soft_pitch_histogram,
 }
 
 
@@ -49,6 +52,8 @@ LOSS_DICT = {
     "chord_progression": zero_one_loss_mean,
     "note_density_pixel": mse_loss_mean,
     "chord_progression_pixel": zero_one_loss_mean,
+    "note_density_soft": mse_loss_mean,
+    "pitch_hist_soft": mse_loss_mean,
 }
 
 

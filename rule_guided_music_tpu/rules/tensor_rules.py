@@ -127,3 +127,62 @@ def note_density_class(
     vt_cls = jnp.searchsorted(vt_bounds, nd[:, :half], side="left")
     hr_cls = jnp.searchsorted(hr_bounds, nd[:, half:], side="left")
     return jnp.concatenate([vt_cls, hr_cls], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable (soft) rule variants
+# ---------------------------------------------------------------------------
+#
+# The hard thresholds above have zero gradient, so DPS-style guidance through
+# rule(decode(x̂0)) needs smooth surrogates (the reference carries these as
+# mgeval/core_diff.py and the unused ``soft`` flag of rule_x0_mse,
+# condition_functions.py:133-138). Sigmoid relaxations with temperature
+# ``sharpness`` replace every step function; as sharpness -> inf they
+# converge to the hard rules.
+
+
+def soft_note_density(
+    piano_roll: jnp.ndarray,
+    interval: int = 128,
+    horizontal_scale: float = 5.0,
+    threshold: float = 0.05,
+    sharpness: float = 200.0,
+) -> jnp.ndarray:
+    """Differentiable note density: sigmoids replace the background
+    threshold, binarization, and onset detection.
+
+    ``threshold``/``sharpness`` place the sigmoid so background cells (p=0)
+    map to ~5e-5 while active cells saturate to 1; gradients flow in a band
+    around the threshold.
+    """
+    roll = piano_roll[:, :1, :, :]
+    roll = piano_like(roll)
+    batch = roll.shape[0]
+    active = jax.nn.sigmoid(((roll + 1.0) / 2.0 - threshold) * sharpness)
+    vertical_per_col = active.sum(axis=2)                     # (B,1,L)
+    padded = jnp.pad(active, ((0, 0), (0, 0), (0, 0), (1, 1)))
+    diff = jnp.diff(padded, axis=-1)
+    onset_strength = jax.nn.relu(diff).sum(axis=2)[:, :, :-1]
+    horizontal_per_col = jnp.tanh(onset_strength * 2.0)       # soft "any onset"
+    vertical = vertical_per_col.reshape(batch, 1, -1, interval).mean(axis=-1)
+    horizontal = (
+        horizontal_per_col.reshape(batch, 1, -1, interval).sum(axis=-1)
+        / horizontal_scale
+    )
+    return jnp.concatenate([vertical, horizontal], axis=-1)[:, 0, :]
+
+
+def soft_pitch_histogram(piano_roll: jnp.ndarray,
+                         threshold: float = 0.05,
+                         sharpness: float = 200.0) -> jnp.ndarray:
+    """Differentiable pitch-class histogram weighting cells by a soft
+    active-note indicator instead of raw velocity mass."""
+    roll = piano_roll[:, 0, :, :]
+    roll = piano_like(roll[:, None])[:, 0]
+    active = jax.nn.sigmoid(((roll + 1.0) / 2.0 - threshold) * sharpness)
+    reduce_time = active.sum(axis=-1)
+    pc = jnp.arange(128) % 12
+    hist = jax.vmap(
+        lambda v: jax.ops.segment_sum(v, pc, num_segments=12)
+    )(reduce_time)
+    return hist / (hist.sum(axis=-1, keepdims=True) + 1e-12)

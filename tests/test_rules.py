@@ -228,3 +228,42 @@ def test_rules_jittable_and_vmappable():
     assert jit_hist(roll).shape == (4, 12)
     assert jit_nd(roll).shape == (4, 16)
     assert jit_chords(roll).shape == (4, 8)
+
+
+def test_soft_rules_differentiable_and_close_to_hard():
+    import jax
+
+    from rule_guided_music_tpu.rules.tensor_rules import (
+        note_density,
+        soft_note_density,
+        soft_pitch_histogram,
+        total_pitch_class_histogram,
+    )
+
+    roll = make_roll(length=256, notes=[(60, 0, 128), (64, 0, 128), (67, 10, 90)])
+    hard = np.asarray(note_density(roll))
+    soft = np.asarray(soft_note_density(roll))
+    # vertical densities agree closely for clearly-on/off cells
+    np.testing.assert_allclose(soft[0, :2], hard[0, :2], atol=0.2)
+
+    hard_h = np.asarray(total_pitch_class_histogram(roll))
+    soft_h = np.asarray(soft_pitch_histogram(roll))
+    assert np.argmax(hard_h[0]) == np.argmax(soft_h[0])
+
+    # nonzero gradients flow through the soft rules
+    def loss(x):
+        return soft_note_density(x).sum() + soft_pitch_histogram(x).sum()
+
+    g = jax.grad(loss)(roll)
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_hard_note_density_has_zero_gradient():
+    """Why the soft variants exist: the hard rule is piecewise constant."""
+    import jax
+
+    from rule_guided_music_tpu.rules.tensor_rules import note_density
+
+    roll = make_roll(length=128, notes=[(60, 0, 64)])
+    g = jax.grad(lambda x: note_density(x).sum())(roll)
+    assert float(jnp.abs(g).max()) == 0.0

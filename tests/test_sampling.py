@@ -314,3 +314,19 @@ def test_respaced_sampling_runs(tables):
         jax.random.PRNGKey(0), oracle_model(spaced, x0), shape, spaced, cfg
     )
     np.testing.assert_allclose(np.asarray(sample), 0.2, atol=0.1)
+
+
+def test_ddim_reverse_loop_inverts_sampling(tables):
+    """encode(x0) then deterministic DDIM decode returns close to x0."""
+    from rule_guided_music_tpu.diffusion.sampling import ddim_reverse_loop
+
+    shape = (1, 1, 4, 4)
+    x0 = jnp.full(shape, 0.35)
+    model = oracle_model(tables, x0)
+    x_t = ddim_reverse_loop(jax.random.PRNGKey(0), model, x0, tables)
+    assert x_t.shape == shape
+    cfg = SamplerConfig(sampler="ddim", eta=0.0)
+    back, _ = sample_loop(
+        jax.random.PRNGKey(1), model, shape, tables, cfg, noise=x_t
+    )
+    np.testing.assert_allclose(np.asarray(back), 0.35, atol=0.05)
