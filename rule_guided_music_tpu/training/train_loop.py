@@ -389,3 +389,71 @@ class TrainLoop:
             self.step += 1
         if (self.step - 1) % cfg.save_interval != 0:
             self.save()
+
+
+def make_eval_sampling_fn(
+    model_apply_eval: Callable,
+    tables: Tables,
+    *,
+    vae_model=None,
+    sample_batch_size: int = 16,
+    num_classes: int = 0,
+    in_channels: int = 4,
+    image_size=(128, 16),
+    use_ddim: bool = True,
+    fs: int = 100,
+    scale_factor: float = 1.0,
+):
+    """Training-time eval hook: sample with EMA params, decode, save MIDI
+    under <logdir>/samples/iter_<step> (train_util.py:222-317).
+
+    ``model_apply_eval(params, x, t, y)`` is the eval-mode denoiser.
+    Class-balanced labels mirror the reference's per-rank balancing.
+    """
+    from ..constants import BACKGROUND_THRESHOLD
+    from ..data.pianoroll import finalize_decoded_sample, save_piano_roll_midi
+    from ..diffusion.sampling import SamplerConfig, sample_loop
+
+    config = SamplerConfig(sampler="ddim" if use_ddim else "ddpm", eta=1.0)
+    shape = (sample_batch_size, in_channels, *image_size)
+
+    def generate(rng, params, y):
+        model_fn = lambda x, t, yy: model_apply_eval(params, x, t, yy)
+        return sample_loop(rng, model_fn, shape, tables, config, y=y)[0]
+
+    generate = jax.jit(generate)
+
+    def eval_fn(loop: "TrainLoop"):
+        rng = jax.random.PRNGKey(loop.step + 12345)
+        if num_classes > 0:
+            per = max(sample_batch_size // num_classes, 1)
+            y = jnp.arange(sample_batch_size, dtype=jnp.int32) // per
+            y = jnp.clip(y, 0, num_classes - 1)
+        else:
+            y = None
+        latents = generate(rng, loop.state["ema_params"], y)
+        if vae_model is not None and loop.vae_params is not None:
+            from ..diffusion.latent import make_decode_fn
+
+            decode = jax.jit(
+                lambda vp, z: make_decode_fn(
+                    lambda c: vae_model.apply(
+                        vp, c, method=type(vae_model).decode
+                    ),
+                    scale_factor=scale_factor,
+                )(z)
+            )
+            rolls = decode(loop.vae_params, latents)
+        else:
+            rolls = latents
+        arr = finalize_decoded_sample(np.asarray(rolls), BACKGROUND_THRESHOLD)
+        if jax.process_index() == 0:
+            step = loop.step + loop.resume_step
+            save_dir = osp.join(logger.get_dir(), "samples", f"iter_{step}")
+            save_piano_roll_midi(
+                arr, save_dir, fs,
+                y=np.asarray(y) if y is not None else None,
+            )
+            logger.log(f"eval samples written to {save_dir}")
+
+    return eval_fn

@@ -22,7 +22,11 @@ from rule_guided_music_tpu.diffusion.schedule import make_schedule
 from rule_guided_music_tpu.models import DiT_models
 from rule_guided_music_tpu.pipeline import VAEBundle
 from rule_guided_music_tpu.training.resample import create_named_schedule_sampler
-from rule_guided_music_tpu.training.train_loop import TrainConfig, TrainLoop
+from rule_guided_music_tpu.training.train_loop import (
+    TrainConfig,
+    TrainLoop,
+    make_eval_sampling_fn,
+)
 from rule_guided_music_tpu.utils import logger
 
 
@@ -76,6 +80,7 @@ def main():
         scale_factor=args.scale_factor,
         log_interval=args.log_interval,
         save_interval=args.save_interval,
+        eval_interval=args.eval_interval,
         var_type=(gd.ModelVarType.LEARNED_RANGE if args.learn_sigma
                   else gd.ModelVarType.FIXED_LARGE),
         loss_type=(gd.LossType.RESCALED_MSE if args.learn_sigma
@@ -85,6 +90,20 @@ def main():
     def model_apply(p, x, model_t, y, rng):
         return model.apply(p, x, model_t, y, train=True,
                            rngs={"label_dropout": rng})
+
+    eval_fn = None
+    if args.eval_interval > 0:
+        eval_fn = make_eval_sampling_fn(
+            lambda p, x, t, y: model.apply(p, x, t, y),
+            tables,
+            vae_model=vae.model,
+            sample_batch_size=args.eval_sample_batch_size,
+            num_classes=args.num_classes if args.class_cond else 0,
+            in_channels=args.in_channels,
+            image_size=tuple(args.image_size),
+            fs=args.fs,
+            scale_factor=args.scale_factor,
+        )
 
     loop = TrainLoop(
         model_apply=model_apply,
@@ -100,6 +119,7 @@ def main():
             args.schedule_sampler, tables.num_timesteps
         ),
         checkpoint_dir=os.path.join(logger.get_dir(), "checkpoints"),
+        eval_fn=eval_fn,
         seed=args.seed,
     )
     if args.resume_checkpoint:
@@ -130,6 +150,8 @@ def create_argparser():
         ema_rate="0.9999",
         log_interval=10,
         save_interval=10000,
+        eval_interval=-1,
+        eval_sample_batch_size=16,
         resume_checkpoint="",
         resume=False,
         image_size=[128, 16],
