@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 BASE_LEN = 128  # window length in latent columns (w_img.py:12)
@@ -108,3 +109,75 @@ def make_cond_ind_eps_fn(
         return merged
 
     return long_eps
+
+
+def make_avg_eps_fn(
+    eps_fn: Callable,
+    num_img: int,
+    overlap: int,
+    circle: bool = False,
+    base: int = BASE_LEN,
+) -> Callable:
+    """Naive averaging baseline (diff_collage/avg_long.py:7-40, avg_circle.py):
+    per-window epsilons merged by plain overlap averaging, without the
+    conditional-independence correction."""
+    n = num_img + 1 if circle else num_img
+
+    def long_eps(x: jnp.ndarray, t: jnp.ndarray, y=None) -> jnp.ndarray:
+        x_ext = (jnp.concatenate([x, x[:, :, :overlap, :]], axis=2)
+                 if circle else x)
+        b = x.shape[0]
+        wins, ov = split_windows(x_ext, n, base)
+        t_rep = jnp.repeat(t, n, axis=0)
+        y_rep = jnp.repeat(y, n, axis=0) if y is not None else None
+        eps = eps_fn(wins, t_rep, y_rep)
+        merged = merge_windows(eps, overlap, n, is_avg=True)
+        if circle:
+            head = (merged[:, :, :overlap, :] + merged[:, :, -overlap:, :]) / 2.0
+            return jnp.concatenate([head, merged[:, :, overlap:-overlap, :]],
+                                   axis=2)
+        return merged
+
+    return long_eps
+
+
+def make_loss_guided_eps_fn(
+    eps_fn: Callable,
+    num_img: int,
+    overlap: int,
+    weight: float = 1.0,
+) -> Callable:
+    """Loss-guided stitching worker (diff_collage/w_loss.py:40-120,
+    SeqWorker essence).
+
+    Unlike the factor-graph composition, this worker diffuses num_img
+    INDEPENDENT window states simultaneously — state shape
+    ``(B, num_img, C, base, P)`` — and corrects each window's epsilon by the
+    gradient of the overlap-consistency loss
+    ``sum ||x̂0[i][-ov:] - x̂0[i+1][:ov]||²`` so adjacent windows converge to
+    agreement during sampling.  Sigma space: x̂0 = x - sigma * eps; the final
+    long score is assembled with ``merge_windows`` on the x̂0 stack.
+    """
+
+    def stacked_eps(x: jnp.ndarray, sigma: jnp.ndarray, y=None) -> jnp.ndarray:
+        b, n, c, base_len, p = x.shape
+        assert n == num_img, (n, num_img)
+        flat = x.reshape(b * n, c, base_len, p)
+        sig_rep = jnp.repeat(sigma, n, axis=0)
+        y_rep = jnp.repeat(y, n, axis=0) if y is not None else None
+        eps = eps_fn(flat, sig_rep, y_rep)
+        sig_b = sig_rep.reshape((-1,) + (1,) * (flat.ndim - 1))
+        x0 = flat - sig_b * eps
+
+        def overlap_loss(x_in):
+            eps_in = eps_fn(x_in, sig_rep, y_rep)
+            x0w = (x_in - sig_b * eps_in).reshape(b, n, c, base_len, p)
+            left = x0w[:, :-1, :, -overlap:, :]
+            right = x0w[:, 1:, :, :overlap, :]
+            return jnp.sum((left - right) ** 2)
+
+        grad = jax.grad(overlap_loss)(flat)
+        eps = eps + weight * sig_b * grad
+        return eps.reshape(b, n, c, base_len, p)
+
+    return stacked_eps

@@ -116,3 +116,43 @@ def test_collage_in_sampler():
         shape, tables, cfg,
     )
     np.testing.assert_allclose(np.asarray(sample), 0.3, atol=0.1)
+
+
+def test_avg_eps_fn_identity_on_consistent_input():
+    from rule_guided_music_tpu.diffusion.collage import make_avg_eps_fn
+
+    num_img, overlap = 3, 64
+    t_long = linear_length(num_img, overlap)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 4, t_long, 16))
+    eps_fn = lambda xs, t, y=None: xs
+    long_eps = make_avg_eps_fn(eps_fn, num_img, overlap)
+    out = long_eps(x, jnp.zeros((2,)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_loss_guided_eps_pushes_overlaps_together():
+    """Independent window states disagreeing at overlaps get a corrective
+    epsilon pointing the states toward agreement."""
+    from rule_guided_music_tpu.diffusion.collage import make_loss_guided_eps_fn
+
+    num_img, overlap = 2, 64
+    # two INDEPENDENT windows (B, n, C, base, P) with different content
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, num_img, 2, 128, 16))
+    sigma = jnp.ones((1,))
+    eps_zero = lambda xs, s, y=None: jnp.zeros_like(xs)
+
+    plain = make_loss_guided_eps_fn(eps_zero, num_img, overlap, weight=0.0)(
+        x, sigma
+    )
+    guided = make_loss_guided_eps_fn(eps_zero, num_img, overlap, weight=0.05)(
+        x, sigma
+    )
+    np.testing.assert_allclose(np.asarray(plain), 0.0, atol=1e-6)
+    assert float(jnp.abs(guided).max()) > 0.0
+    # one gradient step x - sigma*eps reduces overlap disagreement
+    x0 = np.asarray(x - sigma.reshape(1, 1, 1, 1, 1) * guided)
+    before = np.sum((np.asarray(x)[:, 0, :, -overlap:, :]
+                     - np.asarray(x)[:, 1, :, :overlap, :]) ** 2)
+    after = np.sum((x0[:, 0, :, -overlap:, :]
+                    - x0[:, 1, :, :overlap, :]) ** 2)
+    assert after < before
