@@ -181,3 +181,63 @@ def make_loss_guided_eps_fn(
         return eps.reshape(b, n, c, base_len, p)
 
     return stacked_eps
+
+
+def make_cond_ind_sr_eps_fn(
+    eps_fn: Callable,
+    num_img: int,
+    overlap: int,
+    low_res: jnp.ndarray,
+    circle: bool = False,
+    base: int = BASE_LEN,
+) -> Callable:
+    """Super-resolution stitching (diff_collage/condind_long.py:56-120
+    CondIndSR / condind_circle.py CondIndCircleSR): the per-window denoiser
+    is conditioned on the matching window of a low-resolution score.
+
+    ``eps_fn(x, t, y, low)`` is a SuperRes-style denoiser;
+    ``low_res``: (B, C, T_low, P_low) with T_low proportional to T_long.
+    """
+    n = num_img + 1 if circle else num_img
+    t_low = low_res.shape[2]
+
+    def long_eps(x: jnp.ndarray, t: jnp.ndarray, y=None) -> jnp.ndarray:
+        b = x.shape[0]
+        if circle:
+            x_ext = jnp.concatenate([x, x[:, :, :overlap, :]], axis=2)
+        else:
+            x_ext = x
+        t_long = x_ext.shape[2]
+        low_base = base * t_low // (x.shape[2] + (overlap if circle else 0))
+        low_overlap = overlap * low_base // base
+        if circle:
+            low_ext = jnp.concatenate(
+                [low_res, low_res[:, :, :low_overlap, :]], axis=2
+            )
+        else:
+            low_ext = low_res
+        wins, ov = split_windows(x_ext, n, base)
+        low_wins, _ = split_windows(low_ext, n, low_base)
+        t_rep = jnp.repeat(t, n, axis=0)
+        y_rep = jnp.repeat(y, n, axis=0) if y is not None else None
+
+        full_eps = eps_fn(wins, t_rep, y_rep, low_wins)
+        half_eps = eps_fn(
+            wins[:, :, -overlap:, :], t_rep, y_rep,
+            low_wins[:, :, -low_overlap:, :],
+        )
+        half_eps = half_eps.reshape(b, n, *half_eps.shape[1:])
+        half_eps = half_eps.at[:, -1].set(0.0)
+        full_eps = full_eps.reshape(b, n, *full_eps.shape[1:])
+        full_eps = full_eps.at[:, :, :, -overlap:, :].add(-half_eps)
+        merged = merge_windows(
+            full_eps.reshape(b * n, *full_eps.shape[2:]), overlap, n,
+            is_avg=False,
+        )
+        if circle:
+            head = (merged[:, :, :overlap, :] + merged[:, :, -overlap:, :]) / 2.0
+            return jnp.concatenate([head, merged[:, :, overlap:-overlap, :]],
+                                   axis=2)
+        return merged
+
+    return long_eps

@@ -147,37 +147,6 @@ class VAEBundle:
         )
 
 
-def build_classifiers(
-    classifier_config: SimpleNamespace,
-    *,
-    input_size=(128, 16),
-    in_channels: int = 4,
-    dtype=jnp.bfloat16,
-) -> List[Callable]:
-    """Instantiate the YAML cond_fn.classifiers block
-    (sample_rule.py:89-105)."""
-    classifiers = []
-    for i, name in enumerate(classifier_config.names):
-        num_classes = classifier_config.num_classes[i]
-        model = DiT_models[name](
-            input_size=tuple(input_size), in_channels=in_channels,
-            num_classes=num_classes, dtype=dtype,
-        )
-        x = jnp.zeros((1, in_channels, *input_size))
-        t = jnp.zeros((1,))
-        params = model.init(jax.random.PRNGKey(100 + i), x, t)
-        path = classifier_config.paths[i]
-        if path and os.path.exists(path):
-            params = load_checkpoint_params(path, target=params)
-            logger.log(f"loaded classifier {name} from {path}")
-        else:
-            logger.log(f"WARNING: classifier {name}: no weights at '{path}'")
-        classifiers.append(
-            (lambda p, m: (lambda x, t: m.apply(p, x, t)))(params, model)
-        )
-    return classifiers
-
-
 def build_classifier_bundles(
     classifier_config: SimpleNamespace,
     *,
@@ -205,28 +174,6 @@ def build_classifier_bundles(
             logger.log(f"WARNING: classifier {name}: no weights at '{path}'")
         bundles.append((model, params))
     return bundles
-
-
-def build_cond_fn(config: SimpleNamespace, classifiers: Optional[List[Callable]]):
-    """Translate the YAML guidance.cond_fn block into a composite cond_fn
-    (sample_rule.py:107-117)."""
-    cond_cfg = getattr(config.guidance, "cond_fn", None)
-    if cond_cfg is None:
-        return None
-    specs = []
-    for i, fn in enumerate(cond_cfg.fns):
-        specs.append(
-            CondFnSpec(
-                fn=fn,
-                rule_name=cond_cfg.rule_names[i],
-                scale=float(cond_cfg.classifier_scales[i]),
-                classifier=classifiers[i] if classifiers else None,
-            )
-        )
-    method = getattr(config.guidance, "method", "no_guidance")
-    if method == "dps":
-        return make_value_cond_fn(specs)
-    return make_grad_cond_fn(specs)
 
 
 def resolve_given_targets(

@@ -16,7 +16,6 @@ Re-architecture of guided_diffusion/train_util.py (TrainLoop :27-400):
 
 from __future__ import annotations
 
-import functools
 import os
 import os.path as osp
 import re
@@ -100,29 +99,6 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     else:
         schedule = config.lr
     return optax.adamw(schedule, weight_decay=config.weight_decay)
-
-
-class TrainState:
-    """params + EMA params + optimizer state + step, as one pytree."""
-
-    def __init__(self, params, ema_params, opt_state, step):
-        self.params = params
-        self.ema_params = ema_params
-        self.opt_state = opt_state
-        self.step = step
-
-    def tree(self):
-        return {
-            "params": self.params,
-            "ema_params": self.ema_params,
-            "opt_state": self.opt_state,
-            "step": self.step,
-        }
-
-    @classmethod
-    def from_tree(cls, tree):
-        return cls(tree["params"], tree["ema_params"], tree["opt_state"],
-                   tree["step"])
 
 
 def make_train_step(

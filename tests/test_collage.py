@@ -156,3 +156,24 @@ def test_loss_guided_eps_pushes_overlaps_together():
     after = np.sum((x0[:, 0, :, -overlap:, :]
                     - x0[:, 1, :, :overlap, :]) ** 2)
     assert after < before
+
+
+def test_cond_ind_sr_windows_low_res_conditioning():
+    from rule_guided_music_tpu.diffusion.collage import make_cond_ind_sr_eps_fn
+
+    num_img, overlap = 2, 64
+    t_long = linear_length(num_img, overlap)   # 192
+    low = jnp.arange(1 * 1 * 48 * 4, dtype=jnp.float32).reshape(1, 1, 48, 4)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 1, t_long, 4))
+    seen = {}
+
+    def eps_fn(xs, t, y=None, low_w=None):
+        seen.setdefault("shapes", []).append((xs.shape, low_w.shape))
+        return xs  # identity -> composition must be identity
+
+    long_eps = make_cond_ind_sr_eps_fn(eps_fn, num_img, overlap, low)
+    out = long_eps(x, jnp.zeros((1,)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+    # low-res windows: base 128 -> low_base 32, overlap 64 -> low 16
+    assert ((2, 1, 128, 4), (2, 1, 32, 4)) in seen["shapes"]
+    assert ((2, 1, 64, 4), (2, 1, 16, 4)) in seen["shapes"]
