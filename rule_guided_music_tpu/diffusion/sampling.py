@@ -54,6 +54,8 @@ class SCGConfig:
     num_samples: int = 16
     weights: Tuple[Tuple[str, float], ...] = ()
     dc_base: int = 0                # windowed selection base (latent cols); 0 = off
+    decode_chunks: int = 1          # serialize the candidate decode+scoring in
+                                    # this many groups (lax.map) to cap HBM use
 
     def weight(self, rule_name: str) -> float:
         return dict(self.weights).get(rule_name, 1.0)
@@ -122,14 +124,39 @@ def _scg_select(
 
     t_k = _tile(t, k)
     y_k = _tile(y, k) if y is not None else None
-    model_out = model_fn(flat, tables.model_t[t_k], y_k)
-    eps = _split_eps(model_out, config.var_type)
-    pred_xstart = gd.predict_xstart_from_eps(tables, flat, t_k, eps)
 
-    if config.edit is not None:
-        pred_xstart = pred_xstart[:, :, config.edit.l_start:config.edit.l_end, :]
-    if decode_fn is not None:
-        pred_xstart = decode_fn(pred_xstart)                 # (k*B, 3, 128, L)
+    has_y = y_k is not None
+
+    def rollout_and_decode(args):
+        flat_g, t_g, y_g = args
+        model_out = model_fn(flat_g, tables.model_t[t_g],
+                             y_g if has_y else None)
+        eps = _split_eps(model_out, config.var_type)
+        x0 = gd.predict_xstart_from_eps(tables, flat_g, t_g, eps)
+        if config.edit is not None:
+            x0 = x0[:, :, config.edit.l_start:config.edit.l_end, :]
+        if decode_fn is not None:
+            x0 = decode_fn(x0)                               # (g, 3, 128, L)
+        return x0
+
+    n_chunks = max(int(config.scg.decode_chunks), 1)
+    if n_chunks > 1 and (k * b) % n_chunks == 0:
+        # Serialize the one-step rollout + decode over candidate groups to
+        # cap peak HBM (k*B*8 chunk decodes at once can exceed memory for
+        # large batches); lax.map reuses one group-sized buffer set.
+        g = k * b // n_chunks
+        grouped = (
+            flat.reshape(n_chunks, g, *flat.shape[1:]),
+            t_k.reshape(n_chunks, g),
+            (y_k.reshape(n_chunks, g) if y_k is not None else
+             jnp.zeros((n_chunks, g), dtype=jnp.int32)),
+        )
+        pred_xstart = jax.lax.map(rollout_and_decode, grouped)
+        pred_xstart = pred_xstart.reshape(
+            k * b, *pred_xstart.shape[2:]
+        )
+    else:
+        pred_xstart = rollout_and_decode((flat, t_k, y_k))
 
     record: Dict[str, jnp.ndarray] = {}
 

@@ -330,3 +330,33 @@ def test_ddim_reverse_loop_inverts_sampling(tables):
         jax.random.PRNGKey(1), model, shape, tables, cfg, noise=x_t
     )
     np.testing.assert_allclose(np.asarray(back), 0.35, atol=0.05)
+
+
+def test_scg_decode_chunks_matches_unchunked(tables):
+    """Serialized candidate decoding must select identical samples."""
+    b, k = 2, 4
+    shape = (b, 1, 128, 128)
+    t = jnp.full((b,), 20, dtype=jnp.int32)
+
+    def model_fn(x, model_t, y=None):
+        return jnp.zeros_like(x)
+
+    target_hist = np.zeros((b, 12), dtype=np.float32)
+    target_hist[:, 0] = 1.0
+    rules = {"pitch_hist": jnp.asarray(target_hist)}
+    mean = _make_target_roll(60)
+    g_coeff = jnp.ones_like(mean) * 0.8
+
+    def run(chunks):
+        cfg = SamplerConfig(
+            sampler="ddpm",
+            scg=SCGConfig(num_samples=k, weights=(("pitch_hist", 1.0),),
+                          decode_chunks=chunks),
+        )
+        sel, _ = _scg_select(
+            cfg, tables, model_fn, None, rules,
+            jax.random.PRNGKey(0), mean, g_coeff, t, None,
+        )
+        return np.asarray(sel)
+
+    np.testing.assert_allclose(run(1), run(4), atol=1e-6)
