@@ -164,6 +164,10 @@ def create_argparser():
         pr_image_size=2560,
         encode_rep=4,
         shift_size=4,
+        # accepted for reference-CLI parity; the jit'd encoder handles the
+        # whole batch (XLA tiles it), so no explicit encode microbatching
+        microbatch_encode=-1,
+        embed_model_name="kl/f8-all-onset",
         fs=100,
         bf16=True,
         seed=0,
