@@ -12,7 +12,9 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "roll_codec.cpp")
-_SO = os.path.join(_HERE, "libroll_codec.so")
+_BUILD_DIR = os.path.join(_HERE, "_build")
+# outside the package import path so pkgutil walkers don't try to import it
+_SO = os.path.join(_BUILD_DIR, "libroll_codec.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -25,6 +27,7 @@ def _load():
         if _lib is not None or _build_failed:
             return _lib
         try:
+            os.makedirs(_BUILD_DIR, exist_ok=True)
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
                 subprocess.run(
