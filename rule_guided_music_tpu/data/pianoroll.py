@@ -42,26 +42,42 @@ def quantize_pedal(value: int, num_bins: int = PEDAL_BINS) -> int:
 
 
 def midi_to_roll(
-    midi: MidiData, fs: int = 100, length: Optional[int] = None
+    midi: MidiData, fs: int = 100, length: Optional[int] = None,
+    use_native: bool = True,
 ) -> np.ndarray:
     """MIDI -> (3, 128, T) float roll in [0, 127].
 
     Channel 0: summed note velocities (clipped); channel 1: binary onsets
     (127); channel 2: quantized sustain pedal broadcast over the piano range.
+    Uses the native rasterizer when available (exact-semantics tested).
     """
     end_time = midi.get_end_time()
     t_cols = length if length is not None else int(fs * end_time)
     t_cols = max(t_cols, 1)
-    piano = np.zeros((128, t_cols), dtype=np.float32)
-    onset = np.zeros((128, t_cols), dtype=np.float32)
     pedal = np.zeros((128, t_cols), dtype=np.float32)
 
-    for note in midi.notes:
-        s, e = int(note.start * fs), int(note.end * fs)
-        if s >= t_cols:
-            continue
-        piano[note.pitch, s:min(e, t_cols)] += note.velocity
-        onset[note.pitch, min(s, t_cols - 1)] = 127.0
+    native = None
+    if use_native and midi.notes:
+        from ..native import rasterize_notes_native
+
+        native = rasterize_notes_native(
+            np.asarray([n.pitch for n in midi.notes]),
+            np.asarray([n.velocity for n in midi.notes]),
+            np.asarray([n.start for n in midi.notes], dtype=np.float64),
+            np.asarray([n.end for n in midi.notes], dtype=np.float64),
+            fs, t_cols,
+        )
+    if native is not None:
+        piano, onset = native
+    else:
+        piano = np.zeros((128, t_cols), dtype=np.float32)
+        onset = np.zeros((128, t_cols), dtype=np.float32)
+        for note in midi.notes:
+            s, e = int(note.start * fs), int(note.end * fs)
+            if s >= t_cols:
+                continue
+            piano[note.pitch, s:min(e, t_cols)] += note.velocity
+            onset[note.pitch, min(s, t_cols - 1)] = 127.0
 
     for cc in midi.control_changes:
         if cc.number != CC_SUSTAIN_PEDAL:

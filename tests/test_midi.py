@@ -247,3 +247,25 @@ def test_native_codec_speedup_sanity():
     python_t = time.perf_counter() - t0
     # the native path must not be slower (usually 10-100x faster)
     assert native_t < python_t * 1.5
+
+
+def test_native_rasterizer_matches_python():
+    from rule_guided_music_tpu.data.pianoroll import midi_to_roll
+    from rule_guided_music_tpu.native import is_available
+
+    if not is_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(4)
+    notes = []
+    for _ in range(80):
+        p = int(rng.integers(21, 109))
+        s = float(rng.uniform(0, 9))
+        e = s + float(rng.uniform(0.05, 1.5))
+        notes.append(Note(velocity=int(rng.integers(1, 128)), pitch=p,
+                          start=s, end=e))
+    midi = MidiData(notes=notes)
+    nat = midi_to_roll(midi, fs=100, length=1024, use_native=True)
+    py = midi_to_roll(midi, fs=100, length=1024, use_native=False)
+    np.testing.assert_array_equal(nat, py)

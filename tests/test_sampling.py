@@ -360,3 +360,56 @@ def test_scg_decode_chunks_matches_unchunked(tables):
         return np.asarray(sel)
 
     np.testing.assert_allclose(run(1), run(4), atol=1e-6)
+
+
+def test_scg_windowed_dc_selection(tables):
+    """dc_base>0: argmax runs per window with per-window target slices and
+    latent-space sub-window stitching (gaussian_diffusion.py:562-592)."""
+    b, k = 1, 4
+    t_latent = 32           # 2 dc windows of dc_base=16 latent cols
+    shape = (b, 1, t_latent, 16)
+    t = jnp.full((b,), 20, dtype=jnp.int32)
+
+    def model_fn(x, model_t, y=None):
+        return jnp.zeros_like(x)
+
+    def toy_decode(z):
+        # (N, 1, T, 16) latent -> (N, 1, 128, T*8) roll
+        r = jnp.swapaxes(z, 2, 3)               # (N,1,16,T)
+        r = jnp.repeat(r, 8, axis=2)            # (N,1,128,T)
+        return jnp.repeat(r, 8, axis=3)         # (N,1,128,8T)
+
+    target_hist = np.zeros((b, 12), dtype=np.float32)
+    target_hist[:, 0] = 1.0
+    # 8T = 256 pixel cols = 2 chord windows; rule_base = 16 // 16 = 1
+    rules = {
+        "pitch_hist": jnp.asarray(target_hist),
+        "chord_progression": jnp.ones((b, 2), dtype=jnp.int32),
+    }
+    cfg = SamplerConfig(
+        sampler="ddpm",
+        scg=SCGConfig(num_samples=k, dc_base=16,
+                      weights=(("pitch_hist", 1.0),
+                               ("chord_progression", 1.0))),
+    )
+    mean = jnp.full(shape, -1.0)
+    g_coeff = jnp.ones_like(mean) * 0.5
+    selected, _ = _scg_select(
+        cfg, tables, model_fn, toy_decode, rules,
+        jax.random.PRNGKey(0), mean, g_coeff, t, None,
+    )
+    assert selected.shape == shape
+    assert bool(jnp.isfinite(selected).all())
+
+    # per-window stitching: each window of `selected` must equal SOME
+    # candidate's window (argmax may differ per window)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (k,) + shape)
+    cands = np.asarray(mean[None] + g_coeff[None] * noise)
+    sel = np.asarray(selected)
+    for w, start in enumerate((0, 16)):
+        window = sel[:, :, start:start + 16, :]
+        matches = [
+            np.allclose(window, cands[i][:, :, start:start + 16, :])
+            for i in range(k)
+        ]
+        assert any(matches), f"window {w} is not any candidate's window"
