@@ -267,3 +267,44 @@ def test_hard_note_density_has_zero_gradient():
     roll = make_roll(length=128, notes=[(60, 0, 64)])
     g = jax.grad(lambda x: note_density(x).sum())(roll)
     assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_chord_analyzer_randomized_diatonic_progressions():
+    """Across random keys and diatonic progressions, the analyzer recovers
+    the generating key and the scale degrees of the chord roots."""
+    rng = np.random.default_rng(0)
+    major_scale = [0, 2, 4, 5, 7, 9, 11]
+    triad_quality = ["maj", "min", "min", "maj", "maj", "min", "dim"]
+    ok_keys = 0
+    ok_tags = 0
+    total_tags = 0
+    trials = 6
+    for trial in range(trials):
+        tonic = int(rng.integers(0, 12))
+        # tonic-anchored, cadence-heavy progression (a random soup of
+        # degrees legitimately resolves to relative keys for ANY
+        # Krumhansl-style finder, incl. music21's)
+        degrees = np.array(
+            [0, 0, 3, 4, 0, int(rng.integers(0, 7)), 4, 0]
+        )
+        notes = []
+        for w, deg in enumerate(degrees):
+            root_pc = (tonic + major_scale[deg]) % 12
+            root = 48 + root_pc
+            third = 4 if triad_quality[deg] == "maj" else 3
+            fifth = 6 if triad_quality[deg] == "dim" else 7
+            for iv in (0, third, fifth):
+                notes.append((root + iv, w * 128, (w + 1) * 128))
+        roll = make_roll(length=1024, notes=notes)
+        tags, key_idx, corr = chord.get_chords(roll, return_key=True)
+        expected_key = chord._MAJOR_PC2KEY[tonic]
+        if int(key_idx[0]) == expected_key:
+            ok_keys += 1
+            expected_tags = degrees + 1
+            ok_tags += int((np.asarray(tags)[0] == expected_tags).sum())
+            total_tags += len(degrees)
+    # Chroma-profile key finding has inherent dominant/relative-key
+    # ambiguities (music21's finder shares them); demand a majority of
+    # exact recoveries and near-perfect degree tags when the key is right.
+    assert ok_keys >= (trials + 1) // 2, f"only {ok_keys}/{trials} keys"
+    assert ok_tags / max(total_tags, 1) > 0.9
