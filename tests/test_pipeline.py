@@ -197,3 +197,37 @@ def test_checkpoint_roundtrip(tmp_path, tiny_world):
     for a, b in zip(jax.tree_util.tree_leaves(d_params),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_make_sample_fn_collage_with_windowed_scg(tiny_world):
+    """demo1.yml-style wiring: circular DiffCollage + windowed SCG."""
+    denoiser, d_params, vae, v_params, _, _ = tiny_world
+    from rule_guided_music_tpu.diffusion.collage import circle_length
+
+    tables = make_schedule("linear", 1000, timestep_respacing="3").tables()
+    num_img, overlap = 1, 64
+    t_long = circle_length(num_img, overlap)  # 128
+    cfg = SamplerConfig(
+        sampler="ddpm",
+        guidance=GuidanceConfig(method="no_guidance", schedule=True,
+                                t_start=3, t_end=0, interval=1),
+        scg=SCGConfig(num_samples=2, dc_base=16,
+                      weights=(("pitch_hist", 40.0),
+                               ("chord_progression", 2.0))),
+    )
+    generate = pipeline.make_sample_fn(
+        denoiser_model=denoiser, tables=tables, sampler_config=cfg,
+        gen_shape=(1, 4, t_long, 16), vae_model=vae, use_decode=True,
+        scale_factor=1.25, num_classes=3,
+        collage=dict(num_img=num_img, overlap=overlap, circle=True),
+    )
+    bundle = {"denoiser": d_params, "vae": v_params, "classifiers": ()}
+    n_chord_windows = t_long * 8 // 128
+    rules = {
+        "pitch_hist": jnp.ones((1, 12)) / 12.0,
+        "chord_progression": jnp.ones((1, n_chord_windows), dtype=jnp.int32),
+    }
+    y = jnp.zeros((1,), dtype=jnp.int32)
+    latents, _ = generate(jax.random.PRNGKey(0), bundle, rules, y)
+    assert latents.shape == (1, 4, t_long, 16)
+    assert bool(jnp.isfinite(latents).all())
