@@ -124,29 +124,39 @@ def _scg_select(
 
     t_k = _tile(t, k)
     y_k = _tile(y, k) if y is not None else None
+    has_y = y_k is not None
 
-    # One-step rollout on the FULL (k*B) batch — the denoiser is most
-    # efficient at the large candidate batch (see docs/PERF.md).
-    model_out = model_fn(flat, tables.model_t[t_k], y_k)
-    eps = _split_eps(model_out, config.var_type)
-    x0_latent = gd.predict_xstart_from_eps(tables, flat, t_k, eps)
-    if config.edit is not None:
-        x0_latent = x0_latent[:, :, config.edit.l_start:config.edit.l_end, :]
+    def rollout_and_decode(args):
+        flat_g, t_g, y_g = args
+        model_out = model_fn(flat_g, tables.model_t[t_g],
+                             y_g if has_y else None)
+        eps = _split_eps(model_out, config.var_type)
+        x0 = gd.predict_xstart_from_eps(tables, flat_g, t_g, eps)
+        if config.edit is not None:
+            x0 = x0[:, :, config.edit.l_start:config.edit.l_end, :]
+        if decode_fn is not None:
+            x0 = decode_fn(x0)                               # (g, 3, 128, L)
+        return x0
 
-    # Decode (and rule-score, below) in serialized groups: the 512-chunk
-    # decode working set otherwise spills HBM (measured: chunked decode is
-    # up to ~25% faster end-to-end at identical semantics).
+    # Serialize the one-step rollout + decode over candidate groups
+    # (lax.map): the 512-chunk decode working set otherwise spills HBM.
+    # Measured (docs/PERF.md): grouping rollout+decode together beats both
+    # the unchunked path and decode-only chunking — small interleaved
+    # model+decode groups pipeline better than one giant decode buffer
+    # (0.582 unchunked -> 0.712 at 32 groups; decode-only chunking 0.66).
     n_chunks = max(int(config.scg.decode_chunks), 1)
-    if decode_fn is not None:
-        if n_chunks > 1 and (k * b) % n_chunks == 0:
-            g = k * b // n_chunks
-            grouped = x0_latent.reshape(n_chunks, g, *x0_latent.shape[1:])
-            pred_xstart = jax.lax.map(decode_fn, grouped)
-            pred_xstart = pred_xstart.reshape(k * b, *pred_xstart.shape[2:])
-        else:
-            pred_xstart = decode_fn(x0_latent)               # (k*B, 3, 128, L)
+    if n_chunks > 1 and (k * b) % n_chunks == 0:
+        g = k * b // n_chunks
+        grouped = (
+            flat.reshape(n_chunks, g, *flat.shape[1:]),
+            t_k.reshape(n_chunks, g),
+            (y_k.reshape(n_chunks, g) if has_y else
+             jnp.zeros((n_chunks, g), dtype=jnp.int32)),
+        )
+        pred_xstart = jax.lax.map(rollout_and_decode, grouped)
+        pred_xstart = pred_xstart.reshape(k * b, *pred_xstart.shape[2:])
     else:
-        pred_xstart = x0_latent
+        pred_xstart = rollout_and_decode((flat, t_k, y_k))
 
     record: Dict[str, jnp.ndarray] = {}
 
