@@ -113,6 +113,8 @@ def roll_to_midi(full_roll: np.ndarray, fs: float = 100, program: int = 0,
     full_roll = np.asarray(full_roll, dtype=np.float32).copy()
     is_onset = False
     pedal_1d = None
+    if full_roll.ndim == 3 and full_roll.shape[0] == 1:
+        full_roll = full_roll[0]   # single-channel: plain velocity roll
     if full_roll.ndim == 3:
         piano_roll = full_roll[0]
         if full_roll.shape[0] == 2:

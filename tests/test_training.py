@@ -198,3 +198,49 @@ def test_create_named_schedule_sampler():
     )
     with pytest.raises(NotImplementedError):
         create_named_schedule_sampler("bogus", 10)
+
+
+def test_make_eval_sampling_fn_writes_midi(tmp_path, monkeypatch):
+    """The training-time eval hook samples with EMA params and writes MIDI."""
+    import flax.linen as nn
+
+    from rule_guided_music_tpu.diffusion.schedule import make_schedule
+    from rule_guided_music_tpu.training.train_loop import make_eval_sampling_fn
+    from rule_guided_music_tpu.utils import logger
+
+    monkeypatch.chdir(tmp_path)
+    logger.configure(dir=str(tmp_path / "run"), format_strs=[])
+
+    class TinyDenoiser(nn.Module):
+        @nn.compact
+        def __call__(self, x, t, y=None):
+            b, c, h, w = x.shape
+            out = nn.Dense(c * h * w)(x.reshape(b, -1))
+            return out.reshape(b, c, h, w)
+
+    model = TinyDenoiser()
+    x = jnp.zeros((2, 3, 16, 4))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+    tables = make_schedule("linear", 1000, timestep_respacing="4").tables()
+
+    eval_fn = make_eval_sampling_fn(
+        lambda p, x, t, y: model.apply(p, x, t, y),
+        tables,
+        vae_model=None,
+        sample_batch_size=2,
+        num_classes=2,
+        in_channels=3,
+        image_size=(16, 4),
+    )
+
+    class FakeLoop:
+        step = 7
+        resume_step = 0
+        state = {"ema_params": params}
+        vae_params = None
+
+    eval_fn(FakeLoop())
+    sample_dir = tmp_path / "run" / "samples" / "iter_7"
+    midis = list(sample_dir.glob("*.midi"))
+    assert len(midis) == 2
+    logger.get_current().close()
