@@ -6,8 +6,10 @@ width each GroupNorm+swish costs two full HBM round trips of a multi-GB
 activation. This kernel computes the 32-group statistics, normalization,
 affine and swish in one VMEM pass per example.
 
-Layout: NHWC, one grid program per example; a (H, W, C) example slice of the
-decoder's largest stage (128x128x128 bf16 = 4 MB) fits VMEM comfortably.
+Layout: NHWC, one grid program per example. VMEM budget note: the kernel
+upcasts the example slice to fp32, so it covers stages up to ~64x64x256
+(4 MB fp32); the decoder's level-0 stage (128x128x128 -> 33 MB fp32) needs
+an H-striped two-pass (Welford) variant — the planned round-2 follow-up.
 """
 
 from __future__ import annotations
