@@ -2,14 +2,14 @@
 
 Round-2 groundwork for the measured decoder bottleneck (docs/PERF.md): the
 taming-style decoder interleaves GroupNorm -> swish -> conv, and at the SCG
-width each GroupNorm+swish costs two full HBM round trips of a multi-GB
-activation. This kernel computes the 32-group statistics, normalization,
-affine and swish in one VMEM pass per example.
+width each GroupNorm+swish costs multiple HBM round trips of a multi-GB
+activation (XLA: one read for statistics + read/write for the normalize).
+This kernel holds one example's activation in VMEM (bf16) and streams fp32
+statistics/normalization over row stripes — a single HBM read + write.
 
-Layout: NHWC, one grid program per example. VMEM budget note: the kernel
-upcasts the example slice to fp32, so it covers stages up to ~64x64x256
-(4 MB fp32); the decoder's level-0 stage (128x128x128 -> 33 MB fp32) needs
-an H-striped two-pass (Welford) variant — the planned round-2 follow-up.
+Layout: NHWC, one grid program per example. VMEM budget: in + out blocks at
+bf16 (the decoder's largest stage, 128x128x128, is 4.2 MB each) plus one
+fp32 row stripe; fits the ~16 MB/core budget.
 """
 
 from __future__ import annotations
@@ -22,34 +22,65 @@ from jax.experimental import pallas as pl
 
 
 def _gn_swish_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
-                     eps: float):
-    x = x_ref[0].astype(jnp.float32)                 # (H, W, C)
-    h, w, c = x.shape
+                     eps: float, stripe: int):
+    h, w, c = x_ref.shape[1:]
     gs = c // num_groups
-    grouped = x.reshape(h * w, num_groups, gs)
-    mean = grouped.mean(axis=(0, 2), keepdims=True)          # (1, G, 1)
-    var = ((grouped - mean) ** 2).mean(axis=(0, 2), keepdims=True)
-    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
-    normed = normed.reshape(h, w, c)
-    y = normed * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(
-        jnp.float32
-    )
-    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)   # swish
+    n_stripes = h // stripe
+
+    # Pass 1: per-group sum / sumsq, fp32-accumulated over bf16 row stripes.
+    def stats_body(i, carry):
+        s, ss = carry
+        rows = x_ref[0, pl.ds(i * stripe, stripe), :, :].astype(jnp.float32)
+        g = rows.reshape(stripe * w, num_groups, gs)
+        s = s + g.sum(axis=(0, 2))
+        ss = ss + (g * g).sum(axis=(0, 2))
+        return s, ss
+
+    zeros = jnp.zeros((num_groups,), jnp.float32)
+    total, total_sq = jax.lax.fori_loop(0, n_stripes, stats_body,
+                                        (zeros, zeros))
+    count = jnp.float32(h * w * gs)
+    mean = total / count                                     # (G,)
+    var = total_sq / count - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+
+    # broadcast per-group stats to per-channel vectors
+    mean_c = jnp.repeat(mean, gs)                            # (C,)
+    inv_c = jnp.repeat(inv, gs)
+    scale = scale_ref[...].astype(jnp.float32)
+    bias = bias_ref[...].astype(jnp.float32)
+    a = inv_c * scale                                        # y = a*x + b
+    b_vec = bias - mean_c * inv_c * scale
+
+    # Pass 2: normalize + affine + swish, stripe by stripe.
+    def apply_body(i, _):
+        rows = x_ref[0, pl.ds(i * stripe, stripe), :, :].astype(jnp.float32)
+        y = rows * a[None, None, :] + b_vec[None, None, :]
+        y = y * jax.nn.sigmoid(y)
+        o_ref[0, pl.ds(i * stripe, stripe), :, :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_stripes, apply_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_groups", "eps"))
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "stripe"))
 def groupnorm_swish(
     x: jnp.ndarray,
     scale: jnp.ndarray,
     bias: jnp.ndarray,
     num_groups: int = 32,
     eps: float = 1e-6,
+    stripe: int = 8,
 ) -> jnp.ndarray:
     """Fused GroupNorm(num_groups, eps) + affine + swish over (N, H, W, C)."""
     n, h, w, c = x.shape
     assert c % num_groups == 0, (c, num_groups)
+    stripe = min(stripe, h)
+    while h % stripe != 0:
+        stripe -= 1
     return pl.pallas_call(
-        functools.partial(_gn_swish_kernel, num_groups=num_groups, eps=eps),
+        functools.partial(_gn_swish_kernel, num_groups=num_groups, eps=eps,
+                          stripe=stripe),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(n,),
         in_specs=[

@@ -51,3 +51,31 @@ def test_groupnorm_swish_bf16():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_groupnorm_swish_level0_geometry():
+    """Decoder level-0 analog (striped stats over large H)."""
+    from rule_guided_music_tpu.ops.pallas_groupnorm import groupnorm_swish
+
+    shape = (1, 64, 32, 128)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    x = jax.random.normal(ks[0], shape, jnp.float32)
+    scale = jax.random.normal(ks[1], (128,)) * 0.1 + 1.0
+    bias = jax.random.normal(ks[2], (128,)) * 0.1
+    out = groupnorm_swish(x, scale, bias, num_groups=32, stripe=8)
+    ref = reference_gn_swish(x, scale, bias, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-4, rtol=3e-4)
+
+
+def test_groupnorm_swish_odd_height_stripe_fallback():
+    from rule_guided_music_tpu.ops.pallas_groupnorm import groupnorm_swish
+
+    shape = (2, 12, 8, 32)  # H=12: stripe 8 -> falls back to 6
+    x = jax.random.normal(jax.random.PRNGKey(3), shape, jnp.float32)
+    scale = jnp.ones((32,))
+    bias = jnp.zeros((32,))
+    out = groupnorm_swish(x, scale, bias, num_groups=8, stripe=8)
+    ref = reference_gn_swish(x, scale, bias, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-4, rtol=3e-4)
