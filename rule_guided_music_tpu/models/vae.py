@@ -13,7 +13,7 @@ call sites. GroupNorm(32, eps 1e-6) + swish nonlinearity throughout.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import math
 
@@ -33,21 +33,63 @@ def _num_groups(channels: int) -> int:
     return 32 if channels % 32 == 0 else math.gcd(channels, 32)
 
 
+class FusedNormSwish(nn.Module):
+    """GroupNorm + swish with an optional fused Pallas kernel path.
+
+    Declares "scale"/"bias" directly (same tree position and shapes as
+    nn.GroupNorm), so fused and unfused variants — and torch-converted
+    checkpoints — share identical parameter trees.
+    """
+
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        groups = _num_groups(c)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        def jax_impl(x, scale, bias):
+            b, h, w, _ = x.shape
+            xg = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
+            mean = xg.mean(axis=(1, 3), keepdims=True)
+            var = xg.var(axis=(1, 3), keepdims=True)
+            normed = ((xg - mean) * jax.lax.rsqrt(var + 1e-6)).reshape(
+                b, h, w, c
+            )
+            y = (normed * scale + bias).astype(x.dtype)
+            return nonlinearity(y)
+
+        if not self.fused:
+            return jax_impl(x, scale, bias)
+
+        def pallas_impl(x, scale, bias):
+            from ..ops.pallas_groupnorm import groupnorm_swish
+
+            return groupnorm_swish(x, scale, bias, num_groups=groups)
+
+        # kernel on TPU lowering, pure-JAX elsewhere (CPU init/tests)
+        return jax.lax.platform_dependent(
+            x, scale, bias, tpu=pallas_impl, default=jax_impl
+        )
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     dtype: Dtype = jnp.float32
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=_num_groups(in_channels), epsilon=1e-6,
-                         dtype=self.dtype, name="norm1")(x)
-        h = nonlinearity(h)
+        h = FusedNormSwish(fused=self.fused_gn, dtype=self.dtype,
+                           name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.GroupNorm(num_groups=_num_groups(self.out_channels), epsilon=1e-6,
-                         dtype=self.dtype, name="norm2")(h)
-        h = nonlinearity(h)
+        h = FusedNormSwish(fused=self.fused_gn, dtype=self.dtype,
+                           name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if in_channels != self.out_channels:
@@ -102,6 +144,7 @@ class Encoder(nn.Module):
     z_channels: int = 4
     double_z: bool = True
     dtype: Dtype = jnp.float32
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -110,16 +153,18 @@ class Encoder(nn.Module):
         for i_level, mult in enumerate(self.ch_mult):
             for i_block in range(self.num_res_blocks):
                 h = ResnetBlock(self.ch * mult, dtype=self.dtype,
+                                fused_gn=self.fused_gn,
                                 name=f"down_{i_level}_block_{i_block}")(h)
             if i_level != len(self.ch_mult) - 1:
                 h = Downsample(dtype=self.dtype,
                                name=f"down_{i_level}_downsample")(h)
-        h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
+        h = ResnetBlock(h.shape[-1], dtype=self.dtype,
+                        fused_gn=self.fused_gn, name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
-        h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), epsilon=1e-6,
-                         dtype=self.dtype, name="norm_out")(h)
-        h = nonlinearity(h)
+        h = ResnetBlock(h.shape[-1], dtype=self.dtype,
+                        fused_gn=self.fused_gn, name="mid_block_2")(h)
+        h = FusedNormSwish(fused=self.fused_gn, dtype=self.dtype,
+                           name="norm_out")(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
@@ -131,24 +176,27 @@ class Decoder(nn.Module):
     num_res_blocks: int = 2
     out_ch: int = 3
     dtype: Dtype = jnp.float32
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, z):
         block_in = self.ch * self.ch_mult[-1]
         h = nn.Conv(block_in, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_in")(z)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_1")(h)
+        h = ResnetBlock(block_in, dtype=self.dtype,
+                        fused_gn=self.fused_gn, name="mid_block_1")(h)
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, dtype=self.dtype, name="mid_block_2")(h)
+        h = ResnetBlock(block_in, dtype=self.dtype,
+                        fused_gn=self.fused_gn, name="mid_block_2")(h)
         for i_level in reversed(range(len(self.ch_mult))):
             for i_block in range(self.num_res_blocks + 1):
                 h = ResnetBlock(self.ch * self.ch_mult[i_level], dtype=self.dtype,
+                                fused_gn=self.fused_gn,
                                 name=f"up_{i_level}_block_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
-        h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), epsilon=1e-6,
-                         dtype=self.dtype, name="norm_out")(h)
-        h = nonlinearity(h)
+        h = FusedNormSwish(fused=self.fused_gn, dtype=self.dtype,
+                           name="norm_out")(h)
         return nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
 
@@ -204,15 +252,17 @@ class AutoencoderKL(nn.Module):
     num_res_blocks: int = 2
     out_ch: int = 3
     dtype: Dtype = jnp.float32
+    fused_gn: bool = False   # fused Pallas GroupNorm+swish (TPU)
 
     def setup(self):
         self.encoder = Encoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
             z_channels=self.z_channels, double_z=True, dtype=self.dtype,
+            fused_gn=self.fused_gn,
         )
         self.decoder = Decoder(
             ch=self.ch, ch_mult=self.ch_mult, num_res_blocks=self.num_res_blocks,
-            out_ch=self.out_ch, dtype=self.dtype,
+            out_ch=self.out_ch, dtype=self.dtype, fused_gn=self.fused_gn,
         )
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1), dtype=self.dtype,
                                   name="quant_conv")

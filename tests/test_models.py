@@ -213,3 +213,29 @@ def test_registry_names_match_reference():
         "DiTRotary-S/8-chord-cls", "DiTRotary-B/8-cls",
     }
     assert expected.issubset(set(DiT_models.keys()))
+
+
+def test_vae_fused_gn_param_tree_and_equivalence():
+    """fused_gn=True/False share the parameter tree and match numerically
+    (fused path runs the Pallas kernel in interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    vae_ref = AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    vae_fused = AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                              fused_gn=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 32, 32))
+    params = vae_ref.init(jax.random.PRNGKey(1), x, rng=jax.random.PRNGKey(2))
+    with pltpu.force_tpu_interpret_mode():
+        params_fused = vae_fused.init(
+            jax.random.PRNGKey(1), x, rng=jax.random.PRNGKey(2)
+        )
+        paths_a = {"/".join(str(k) for k in p)
+                   for p, _ in jax.tree_util.tree_leaves_with_path(params)}
+        paths_b = {"/".join(str(k) for k in p)
+                   for p, _ in jax.tree_util.tree_leaves_with_path(params_fused)}
+        assert paths_a == paths_b
+        z = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 4))
+        out_ref = vae_ref.apply(params, z, method=AutoencoderKL.decode)
+        out_fused = vae_fused.apply(params, z, method=AutoencoderKL.decode)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               atol=2e-3, rtol=2e-3)
