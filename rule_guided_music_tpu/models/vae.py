@@ -65,15 +65,11 @@ class FusedNormSwish(nn.Module):
         if not self.fused:
             return jax_impl(x, scale, bias)
 
-        def pallas_impl(x, scale, bias):
-            from ..ops.pallas_groupnorm import groupnorm_swish
+        # Pallas kernel on TPU lowering, pure-XLA elsewhere (CPU init/
+        # tests); differentiable via a custom VJP over the XLA formulation.
+        from ..ops.pallas_groupnorm import fused_groupnorm_swish
 
-            return groupnorm_swish(x, scale, bias, num_groups=groups)
-
-        # kernel on TPU lowering, pure-JAX elsewhere (CPU init/tests)
-        return jax.lax.platform_dependent(
-            x, scale, bias, tpu=pallas_impl, default=jax_impl
-        )
+        return fused_groupnorm_swish(x, scale, bias, groups)
 
 
 class ResnetBlock(nn.Module):

@@ -68,6 +68,32 @@ def test_groupnorm_swish_level0_geometry():
                                atol=3e-4, rtol=3e-4)
 
 
+def test_fused_groupnorm_swish_grad_matches_reference():
+    """custom_vjp backward (used by DPS grads through the fused VAE decoder)
+    matches autodiff of the plain formulation."""
+    from rule_guided_music_tpu.ops.pallas_groupnorm import (
+        _gn_swish_ref,
+        fused_groupnorm_swish,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    x = jax.random.normal(ks[0], (2, 4, 4, 16))
+    scale = jax.random.normal(ks[1], (16,)) * 0.1 + 1.0
+    bias = jax.random.normal(ks[2], (16,)) * 0.1
+
+    def loss_fused(x, s, b):
+        return (fused_groupnorm_swish(x, s, b, 4) ** 2).sum()
+
+    def loss_ref(x, s, b):
+        return (_gn_swish_ref(x, s, b, 4, 1e-6) ** 2).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_groupnorm_swish_odd_height_stripe_fallback():
     from rule_guided_music_tpu.ops.pallas_groupnorm import groupnorm_swish
 
