@@ -51,19 +51,16 @@ class FusedNormSwish(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        def jax_impl(x, scale, bias):
-            b, h, w, _ = x.shape
-            xg = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
-            mean = xg.mean(axis=(1, 3), keepdims=True)
-            var = xg.var(axis=(1, 3), keepdims=True)
-            normed = ((xg - mean) * jax.lax.rsqrt(var + 1e-6)).reshape(
-                b, h, w, c
-            )
-            y = (normed * scale + bias).astype(x.dtype)
-            return nonlinearity(y)
-
         if not self.fused:
-            return jax_impl(x, scale, bias)
+            # Exactly flax's GroupNorm computation (params passed through;
+            # no submodule scope is created) — this keeps the unfused HLO
+            # identical to the plain `nn.GroupNorm` formulation, which XLA
+            # compiles measurably better than a hand-rolled fp32
+            # reshape-based variant (see docs/PERF.md).
+            gn = nn.GroupNorm(num_groups=groups, epsilon=1e-6,
+                              dtype=self.dtype)
+            y = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+            return nonlinearity(y)
 
         # Pallas kernel on TPU lowering, pure-XLA elsewhere (CPU init/
         # tests); differentiable via a custom VJP over the XLA formulation.
