@@ -57,10 +57,21 @@ class DiTRotary(nn.Module):
     learn_sigma: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    # Sequence parallelism: an optional sharding (NamedSharding or
+    # PartitionSpec under an ambient mesh) for the (B, N, D) token
+    # activations, e.g. NamedSharding(mesh, P('data', 'seq', None)).
+    # GSPMD keeps norms/MLP token-sharded and inserts the all-gather /
+    # reduce-scatter pair around attention automatically.
+    token_spec: Optional[object] = None
 
     @property
     def out_channels(self) -> int:
         return self.in_channels * 2 if self.learn_sigma else self.in_channels
+
+    def _constrain(self, tokens):
+        if self.token_spec is None:
+            return tokens
+        return jax.lax.with_sharding_constraint(tokens, self.token_spec)
 
     @nn.compact
     def __call__(self, x, t, y=None, train: bool = False):
@@ -81,11 +92,13 @@ class DiTRotary(nn.Module):
 
         head_dim = self.hidden_size // self.num_heads
         rotary = make_rotary_table(seq_len, int(head_dim * 0.5))
+        x = self._constrain(x)
         for i in range(self.depth):
             x = DiTBlock(
                 self.hidden_size, self.num_heads, self.mlp_ratio,
                 dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
             )(x, c, rotary=rotary)
+            x = self._constrain(x)
         x = FinalLayer(
             self.hidden_size, self.patch_size * self.out_channels,
             dtype=self.dtype, name="final_layer",
