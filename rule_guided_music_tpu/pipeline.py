@@ -268,6 +268,7 @@ def make_sample_fn(
     cfg: bool = False,
     w: float = 0.0,
     collage: Optional[dict] = None,
+    mesh=None,
 ):
     """Build a jitted ``generate(rng, params, rules, y[, edit])`` function.
 
@@ -275,6 +276,12 @@ def make_sample_fn(
     (...,)} passed explicitly so jit treats weights as arguments.
     ``collage``: optional dict(num_img=, overlap=, circle=) to wrap the
     denoiser in the DiffCollage stitched-epsilon closure.
+    ``mesh``: optional ``jax.sharding.Mesh`` from ``parallel.make_mesh``;
+    batch-bearing inputs (labels, per-example rule targets, edit arrays)
+    are sharded over data x fsdp and the weight bundle is replicated, so
+    the whole reverse chain — including SCG's k·B candidate axis, which
+    inherits the batch sharding through the scan — runs SPMD across the
+    mesh with GSPMD-inserted collectives.
     """
     classifier_metas = classifier_metas or []
 
@@ -329,7 +336,30 @@ def make_sample_fn(
             edit_gt=edit_gt, edit_mask=edit_mask,
         )
 
-    return jax.jit(generate)
+    jitted = jax.jit(generate)
+    if mesh is None:
+        return jitted
+
+    from .parallel.mesh import batch_sharding, replicated
+
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def put_batch(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), bs), tree
+        )
+
+    def generate_sharded(rng, params, rules, y=None, edit_gt=None,
+                         edit_mask=None):
+        params = jax.device_put(params, rep)
+        rules = put_batch(rules) if rules else rules
+        y = put_batch(y) if y is not None else None
+        edit_gt = put_batch(edit_gt) if edit_gt is not None else None
+        edit_mask = put_batch(edit_mask) if edit_mask is not None else None
+        return jitted(rng, params, rules, y, edit_gt, edit_mask)
+
+    return generate_sharded
 
 
 def make_decode_rolls_fn(vae_model, scale_factor: float = DEFAULT_SCALE_FACTOR):

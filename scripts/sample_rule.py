@@ -179,6 +179,7 @@ def main():
         cfg=args.cfg,
         w=args.w,
         collage=collage,
+        mesh=_make_mesh_from_arg(args.mesh),
     )
     decode_rolls = (pipeline.make_decode_rolls_fn(vae.model, args.scale_factor)
                     if vae else None)
@@ -226,6 +227,19 @@ def main():
     logger.log("sampling complete")
 
 
+def _make_mesh_from_arg(spec: str):
+    """'dp[,fsdp[,tp]]' -> parallel.make_mesh; '' / unset -> None."""
+    if not spec:
+        return None
+    from rule_guided_music_tpu.parallel.mesh import make_mesh
+
+    parts = [int(p) for p in str(spec).split(",")]
+    dp = parts[0] if parts else None
+    fsdp = parts[1] if len(parts) > 1 else 1
+    tp = parts[2] if len(parts) > 2 else 1
+    return make_mesh(dp=dp or None, fsdp=fsdp, tp=tp)
+
+
 def create_argparser():
     defaults = dict(
         project="music-sampling",
@@ -251,6 +265,8 @@ def create_argparser():
         save_files=True,
         deterministic=False,
         seed=0,
+        # multi-chip: 'dp[,fsdp[,tp]]' mesh over jax.devices(); '' = single
+        mesh="",
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -231,3 +231,33 @@ def test_make_sample_fn_collage_with_windowed_scg(tiny_world):
     latents, _ = generate(jax.random.PRNGKey(0), bundle, rules, y)
     assert latents.shape == (1, 4, t_long, 16)
     assert bool(jnp.isfinite(latents).all())
+
+
+def test_make_sample_fn_mesh_matches_single_device(tiny_world):
+    """mesh= shards inputs over data x fsdp; SPMD output must match the
+    single-device program bit-for-bit (value semantics)."""
+    from rule_guided_music_tpu.parallel.mesh import make_mesh
+
+    denoiser, d_params, vae, v_params, _, _ = tiny_world
+    tables = make_schedule("linear", 1000, timestep_respacing="4").tables()
+    cfg = SamplerConfig(
+        sampler="ddpm",
+        scg=SCGConfig(num_samples=2, weights=(("pitch_hist", 1.0),)),
+    )
+    mesh = make_mesh(dp=4, fsdp=2, tp=1)
+    common = dict(
+        denoiser_model=denoiser, tables=tables, sampler_config=cfg,
+        gen_shape=(8, 4, 16, 16), vae_model=vae, use_decode=True,
+        num_classes=3,
+    )
+    gen_single = pipeline.make_sample_fn(**common)
+    gen_mesh = pipeline.make_sample_fn(**common, mesh=mesh)
+    bundle = {"denoiser": d_params, "vae": v_params, "classifiers": ()}
+    rules = {"pitch_hist": jnp.ones((8, 12)) / 12.0}
+    y = jnp.arange(8, dtype=jnp.int32) % 3
+
+    out_s, _ = gen_single(jax.random.PRNGKey(3), bundle, rules, y)
+    out_m, _ = gen_mesh(jax.random.PRNGKey(3), bundle, rules, y)
+    assert out_m.shape == (8, 4, 16, 16)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s),
+                               atol=1e-5, rtol=1e-5)
