@@ -174,6 +174,11 @@ def load_data(
 ) -> Iterator[Tuple[np.ndarray, dict]]:
     """Infinite generator of (batch (B,3,128,L), cond dict) pairs
     (pr_datasets_all.py:26-87 contract)."""
+    if batch_size < 1:
+        raise ValueError(
+            f"batch_size must be >= 1, got {batch_size} (a zero batch "
+            f"makes the loader spin forever)"
+        )
     files, classes = load_manifest(data_dir)
     if not class_cond:
         classes = None

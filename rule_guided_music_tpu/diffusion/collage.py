@@ -14,7 +14,7 @@ window math and call the base model directly on (B*n, C, base, P)).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

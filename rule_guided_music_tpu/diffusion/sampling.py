@@ -21,7 +21,7 @@ rule scoring — compiles to a single ``jax.lax.scan``:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from functools import partial
 from types import SimpleNamespace
 from typing import Any, Callable, Dict, List, Optional
 
@@ -23,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import sampler_config_from_yaml
 from .constants import DEFAULT_SCALE_FACTOR, NUM_CLASSES
 from .diffusion.guidance import (
     CondFnSpec,
@@ -33,7 +31,6 @@ from .diffusion.guidance import (
 )
 from .diffusion.latent import make_decode_fn, make_encode_fn
 from .diffusion.sampling import SamplerConfig, sample_loop
-from .diffusion.schedule import make_schedule
 from .models import AutoencoderKL, DiT_models
 from .rules.registry import FUNC_DICT, LOSS_DICT
 from .rules import chord as chord_mod

@@ -20,7 +20,7 @@ import os
 import os.path as osp
 import re
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +83,7 @@ class TrainConfig:
     scale_factor: float = 1.0
     log_interval: int = 10
     save_interval: int = 10000
+    keep_checkpoints: int = 0      # retain only the newest K step_* dirs (0 = all)
     eval_interval: int = -1
     mean_type: gd.ModelMeanType = gd.ModelMeanType.EPSILON
     var_type: gd.ModelVarType = gd.ModelVarType.FIXED_LARGE
@@ -252,7 +253,7 @@ class TrainLoop:
         }
         step_fn = make_train_step(model_apply, tables, optimizer, config)
         if mesh is not None:
-            from ..parallel.mesh import batch_sharding, shard_params
+            from ..parallel.mesh import shard_params
 
             state_shardings = {
                 "params": shard_params(init_params, mesh),
@@ -288,11 +289,40 @@ class TrainLoop:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.device_get(self.state), force=True)
         ckptr.wait_until_finished()
+        # schema marker: lets future readers validate layout before restore
+        with open(osp.join(path, "SCHEMA"), "w") as f:
+            f.write(f"{self.CKPT_SCHEMA}\n")
         logger.log(f"saved checkpoint {path}")
+        self._prune_checkpoints()
+
+    # Checkpoint tree layout version. v1: {params, ema_params, opt_state,
+    # step} saved as one Orbax StandardCheckpointer tree under step_NNNNNN.
+    CKPT_SCHEMA = "rule-guided-music-tpu/v1"
+
+    def _prune_checkpoints(self):
+        keep = getattr(self.config, "keep_checkpoints", 0)
+        if not keep or self.checkpoint_dir is None:
+            return
+        import shutil
+
+        base = osp.abspath(self.checkpoint_dir)
+        ckpts = sorted(
+            d for d in os.listdir(base) if d.startswith("step_")
+        )
+        for d in ckpts[:-keep]:
+            shutil.rmtree(osp.join(base, d), ignore_errors=True)
+            logger.log(f"pruned old checkpoint {d}")
 
     def restore(self, path: str):
         import orbax.checkpoint as ocp
 
+        schema_file = osp.join(path, "SCHEMA")
+        if osp.exists(schema_file):
+            schema = open(schema_file).read().strip()
+            if schema != self.CKPT_SCHEMA:
+                raise ValueError(
+                    f"checkpoint schema {schema!r} != {self.CKPT_SCHEMA!r}"
+                )
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(path, target=jax.device_get(self.state))
         self.state = jax.device_put(restored)

@@ -11,14 +11,14 @@ the patch-GAN path is provided for full capability parity.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.vae import AutoencoderKL, DiagonalGaussian
+from ..models.vae import AutoencoderKL
 
 
 class NLayerDiscriminator(nn.Module):

@@ -31,7 +31,6 @@ from rule_guided_music_tpu.diffusion.sampling import GuidanceConfig, SamplerConf
 from rule_guided_music_tpu.diffusion.schedule import make_schedule
 from rule_guided_music_tpu.models import DiT_models
 from rule_guided_music_tpu.pipeline import ClassifierSpecMeta, _init_on_host
-from rule_guided_music_tpu.rules.registry import FUNC_DICT
 from rule_guided_music_tpu.utils import logger
 
 

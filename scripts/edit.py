@@ -32,8 +32,6 @@ from rule_guided_music_tpu.data.pianoroll import (
     save_piano_roll_midi,
 )
 from rule_guided_music_tpu.data.midi_io import read_midi
-from rule_guided_music_tpu.diffusion.guidance import make_model_fn
-from rule_guided_music_tpu.diffusion.sampling import sample_loop
 from rule_guided_music_tpu.diffusion.schedule import make_schedule
 from rule_guided_music_tpu.rules.registry import FUNC_DICT
 from rule_guided_music_tpu.rules.tensor_rules import (

@@ -31,8 +31,6 @@ from rule_guided_music_tpu.data.pianoroll import (
     finalize_decoded_sample,
     save_piano_roll_midi,
 )
-from rule_guided_music_tpu.diffusion.guidance import make_model_fn
-from rule_guided_music_tpu.diffusion.sampling import sample_loop
 from rule_guided_music_tpu.diffusion.schedule import make_schedule
 from rule_guided_music_tpu.utils import logger
 

@@ -59,6 +59,12 @@ def main():
 
     vae = VAEBundle.create(vae_path=args.vae_path, scale_factor=args.scale_factor)
 
+    assert args.batch_size >= args.encode_rep and \
+        args.batch_size % args.encode_rep == 0, (
+        f"batch_size ({args.batch_size}) must be a positive multiple of "
+        f"encode_rep ({args.encode_rep}): the loader yields "
+        f"batch_size/encode_rep rolls, each re-chunked into encode_rep "
+        f"training windows (train_util.py:403-429)")
     data = load_data(
         data_dir=args.data_dir,
         batch_size=args.batch_size // args.encode_rep,
@@ -80,6 +86,7 @@ def main():
         scale_factor=args.scale_factor,
         log_interval=args.log_interval,
         save_interval=args.save_interval,
+        keep_checkpoints=args.keep_checkpoints,
         eval_interval=args.eval_interval,
         var_type=(gd.ModelVarType.LEARNED_RANGE if args.learn_sigma
                   else gd.ModelVarType.FIXED_LARGE),
@@ -150,6 +157,7 @@ def create_argparser():
         ema_rate="0.9999",
         log_interval=10,
         save_interval=10000,
+        keep_checkpoints=0,
         eval_interval=-1,
         eval_sample_batch_size=16,
         resume_checkpoint="",

@@ -244,3 +244,45 @@ def test_make_eval_sampling_fn_writes_midi(tmp_path, monkeypatch):
     midis = list(sample_dir.glob("*.midi"))
     assert len(midis) == 2
     logger.get_current().close()
+
+
+def test_checkpoint_schema_and_retention(tmp_path, tables):
+    """save() stamps a schema marker, restore() validates it, and
+    keep_checkpoints prunes old step dirs."""
+    import flax.linen as nn
+
+    from rule_guided_music_tpu.training.train_loop import TrainLoop
+
+    model = _tiny_model()
+    x = jnp.zeros((2, 1, 4, 4))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+
+    def model_apply(p, x, model_t, y, rng):
+        return model.apply(p, x, model_t, y)
+
+    config = TrainConfig(lr=1e-3, ema_rate=0.9, keep_checkpoints=2)
+    loop = TrainLoop(
+        model_apply=model_apply, init_params=params, tables=tables,
+        data=None, config=config, checkpoint_dir=str(tmp_path),
+    )
+    for step in (1, 2, 3):
+        loop.step = step
+        loop.save()
+    dirs = sorted(d for d in (p.name for p in tmp_path.iterdir())
+                  if d.startswith("step_"))
+    assert dirs == ["step_000002", "step_000003"]
+    assert (tmp_path / "step_000003" / "SCHEMA").read_text().strip() \
+        == TrainLoop.CKPT_SCHEMA
+
+    # restore round-trips through the schema check
+    loop2 = TrainLoop(
+        model_apply=model_apply, init_params=params, tables=tables,
+        data=None, config=config, checkpoint_dir=str(tmp_path),
+    )
+    loop2.restore(str(tmp_path / "step_000003"))
+    assert loop2.resume_step == 3
+
+    # a mismatched schema is rejected
+    (tmp_path / "step_000003" / "SCHEMA").write_text("other/v9\n")
+    with pytest.raises(ValueError, match="schema"):
+        loop2.restore(str(tmp_path / "step_000003"))
