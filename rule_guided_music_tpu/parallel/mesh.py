@@ -32,10 +32,17 @@ def make_mesh(
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if n % (fsdp * tp) != 0 or (dp is not None and dp * fsdp * tp != n):
+        raise ValueError(
+            f"make_mesh: cannot factor {n} device(s) as "
+            f"dp={dp if dp is not None else '?'} x fsdp={fsdp} x tp={tp}. "
+            f"Pass factors that multiply to len(devices), or provision more "
+            f"devices first (e.g. a virtual CPU mesh via "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N with "
+            f"JAX_PLATFORMS=cpu, set before jax initializes)."
+        )
     if dp is None:
-        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
         dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"{dp}*{fsdp}*{tp} != {n}"
     arr = np.array(devices).reshape(dp, fsdp, tp)
     return Mesh(arr, ("data", "fsdp", "model"))
 
@@ -72,18 +79,15 @@ _DIT_TP_RULES = [
 
 
 def dit_param_spec(path: str, shape) -> P:
-    """PartitionSpec for a DiT parameter given its flattened path."""
+    """PartitionSpec for a DiT parameter given its flattened path.
+
+    Only rank is checked here (a rule longer than the tensor's rank cannot
+    apply); divisibility of each axis by its mesh-axis size is validated —
+    with per-axis replication fallback — in :func:`shard_params`.
+    """
     for pattern, spec in _DIT_TP_RULES:
-        if re.search(pattern, path):
-            # drop specs that don't divide the axis size evenly
-            ok = True
-            for axis, name in enumerate(spec):
-                if name is None:
-                    continue
-                if axis >= len(shape):
-                    ok = False
-            if ok:
-                return spec
+        if re.search(pattern, path) and len(spec) <= len(shape):
+            return spec
     return P()
 
 
