@@ -24,6 +24,28 @@ Exact music21 agreement is impossible without symbolic spelling; this is a
 deliberate re-expression (SURVEY.md §7 "hard parts" #1).  What SCG needs is
 a *consistent* tag function: targets and candidates are scored by the same
 program, so the 0-1 selection loss semantics are preserved.
+
+Validated behavior (tests/test_chord_golden.py): on clean diatonic triad
+progressions this tagger matches music-theory ground truth exactly — all 24
+keys, all 7 scale degrees, chromatic-root letter collapse (bVII -> 7), null
+tags for silence, "no key" for empty excerpts.
+
+Known divergence classes vs the music21 oracle (piano_roll_to_chord.py):
+  1. Window tagging: music21 chordifies and takes the *longest-duration*
+     chord inside each 1.28 s window (get_longest_chords:69-120); we
+     template-match the window's summed chroma. Windows containing a chord
+     change can be tagged with either side's numeral.
+  2. Seventh/extended chords: music21's Roman numerals spell sevenths and
+     inversions (e.g. "V65"); the letter collapse hides most of this, but a
+     dominant-seventh chroma can template-match the vii° triad (shared
+     tritone) and tag 7 instead of 5.
+  3. Key spelling: enharmonic keys are reported with music21's conventional
+     spellings via the fixed _MAJOR/_MINOR_PC2KEY tables; music21's weighted
+     key certainty can pick a relative/dominant key on short or modally
+     ambiguous excerpts where the Pearson ranking differs.
+  4. Passing tones: music21 tags the sounding verticality (possibly a
+     non-triad labeled by closest fit); chroma summation dilutes ornaments
+     instead, which is usually *more* stable but can flip dense windows.
 """
 
 from __future__ import annotations
