@@ -242,27 +242,70 @@ class TrainLoop:
         self.jax_rng = jax.random.PRNGKey(seed)
 
         optimizer = make_optimizer(config)
-        opt_state = optimizer.init(init_params)
-        self.state = {
-            "params": init_params,
-            # distinct buffers: the step donates the state, and aliased
-            # params/ema leaves would trip XLA's donation checker
-            "ema_params": jax.tree_util.tree_map(jnp.copy, init_params),
-            "opt_state": opt_state,
-            "step": jnp.zeros((), dtype=jnp.int32),
-        }
         step_fn = make_train_step(model_apply, tables, optimizer, config)
+        self.mesh = mesh
+        self._batch_sharding = None
         if mesh is not None:
-            from ..parallel.mesh import shard_params
+            from ..parallel.mesh import batch_sharding, replicated, shard_params
 
-            state_shardings = {
-                "params": shard_params(init_params, mesh),
-                "ema_params": shard_params(init_params, mesh),
-                "opt_state": None,
-                "step": None,
+            param_shardings = shard_params(init_params, mesh)
+            host_params = jax.device_get(init_params)
+            # two device_puts of the same host tree: distinct buffers, so
+            # the donated step never aliases params with ema_params
+            params = jax.device_put(host_params, param_shardings)
+            ema_params = jax.device_put(host_params, param_shardings)
+            # FSDP the optimizer moments like their params: optax state
+            # sub-trees (mu/nu) embed the param tree, so an opt-state leaf
+            # whose path ends with a param path takes that param's sharding;
+            # everything else (adam's count, empty states) is replicated.
+            from ..parallel.mesh import _path_str
+
+            pmap = {
+                _path_str(path): s
+                for path, s in jax.tree_util.tree_leaves_with_path(
+                    param_shardings
+                )
             }
-            self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+            rep = replicated(mesh)
+
+            def _opt_shard(path, leaf):
+                ps = _path_str(path)
+                for k, s in pmap.items():
+                    if ps.endswith(k):
+                        return s
+                return rep
+
+            opt_state = jax.tree_util.tree_map_with_path(
+                lambda p, a: jax.device_put(a, _opt_shard(p, a)),
+                jax.jit(optimizer.init)(params),
+            )
+            self.state = {
+                "params": params,
+                "ema_params": ema_params,
+                "opt_state": opt_state,
+                "step": jax.device_put(
+                    jnp.zeros((), dtype=jnp.int32), replicated(mesh)
+                ),
+            }
+            state_shardings = jax.tree_util.tree_map(
+                lambda a: a.sharding, self.state
+            )
+            # pin the output state to the input shardings (donation-safe,
+            # no silent re-layout drift step over step); metrics unpinned
+            self.step_fn = jax.jit(
+                step_fn, donate_argnums=(0,),
+                out_shardings=(state_shardings, None),
+            )
+            self._batch_sharding = batch_sharding(mesh)
         else:
+            self.state = {
+                "params": init_params,
+                # distinct buffers: the step donates the state, and aliased
+                # params/ema leaves would trip XLA's donation checker
+                "ema_params": jax.tree_util.tree_map(jnp.copy, init_params),
+                "opt_state": optimizer.init(init_params),
+                "step": jnp.zeros((), dtype=jnp.int32),
+            }
             self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
         self.vae_params = vae_params
         if vae_encode is not None:
@@ -356,9 +399,15 @@ class TrainLoop:
         if y is not None:
             y = jnp.asarray(np.repeat(np.asarray(y), rep))
         t_np, w_np = self.schedule_sampler.sample(latents.shape[0], self.rng)
+        t, w = jnp.asarray(t_np), jnp.asarray(w_np)
+        if self._batch_sharding is not None:
+            bs = self._batch_sharding
+            latents, t, w = (jax.device_put(a, bs) for a in (latents, t, w))
+            if y is not None:
+                y = jax.device_put(y, bs)
         self.jax_rng, step_rng = jax.random.split(self.jax_rng)
         self.state, metrics = self.step_fn(
-            self.state, latents, jnp.asarray(t_np), jnp.asarray(w_np), y, step_rng
+            self.state, latents, t, w, y, step_rng
         )
         if isinstance(self.schedule_sampler, LossAwareSampler):
             self.schedule_sampler.update_with_all_losses(

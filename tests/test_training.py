@@ -286,3 +286,57 @@ def test_checkpoint_schema_and_retention(tmp_path, tables):
     (tmp_path / "step_000003" / "SCHEMA").write_text("other/v9\n")
     with pytest.raises(ValueError, match="schema"):
         loop2.restore(str(tmp_path / "step_000003"))
+
+
+def test_train_loop_mesh_sharding_applied(tables):
+    """VERDICT r1 item 5: TrainLoop(mesh=...) must actually shard the train
+    state — params, EMA, and optimizer moments carry the dit_param_spec
+    NamedShardings after a real run_step, and the step stays donation-safe."""
+    from jax.sharding import PartitionSpec as P
+
+    from rule_guided_music_tpu.models import DiT_models
+    from rule_guided_music_tpu.parallel.mesh import make_mesh
+    from rule_guided_music_tpu.training.train_loop import TrainLoop
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    model = DiT_models["DiTRotary_XS_8"](
+        input_size=(32, 16), in_channels=4, num_classes=3, learn_sigma=False,
+    )
+    x = jnp.zeros((8, 4, 32, 16))
+    t0 = jnp.zeros((8,))
+    y0 = jnp.zeros((8,), dtype=jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "label_dropout": jax.random.PRNGKey(1)},
+        x, t0, y0, train=True,
+    )
+
+    def model_apply(p, xx, tt, yy, rng):
+        return model.apply(p, xx, tt, yy, train=True,
+                           rngs={"label_dropout": rng})
+
+    loop = TrainLoop(
+        model_apply=model_apply, init_params=params, tables=tables,
+        data=None, config=TrainConfig(lr=1e-3, ema_rate=0.99), mesh=mesh,
+    )
+    for _ in range(2):
+        metrics = loop.run_step(
+            np.random.default_rng(0).normal(size=(8, 4, 32, 16)).astype(
+                np.float32),
+            {"y": np.zeros((8,), np.int64)},
+        )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(loop.state["step"]) == 2
+
+    qkv = loop.state["params"]["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P("fsdp", "model"), qkv.sharding
+    ema_qkv = loop.state["ema_params"]["params"]["blocks_0"]["attn"]["qkv"][
+        "kernel"]
+    assert ema_qkv.sharding.spec == P("fsdp", "model")
+    # optimizer moments inherit the param shardings (FSDP'd optimizer state)
+    mu_qkv = loop.state["opt_state"][0].mu["params"]["blocks_0"]["attn"][
+        "qkv"]["kernel"]
+    assert mu_qkv.sharding.spec == P("fsdp", "model"), mu_qkv.sharding
+    # the state is actually distributed: each shard holds 1/4 of the leaf
+    shard = qkv.addressable_shards[0].data
+    assert shard.shape == (qkv.shape[0] // 2, qkv.shape[1] // 2)
