@@ -111,6 +111,13 @@ def roll_to_midi(full_roll: np.ndarray, fs: float = 100, program: int = 0,
     to force the pure-Python scan.
     """
     full_roll = np.asarray(full_roll, dtype=np.float32).copy()
+    # NaN/Inf lanes (e.g. a degenerate decoded pedal channel) must not cast
+    # to garbage CC values downstream: map NaN/-Inf to background, +Inf to
+    # full scale, and clamp to the [0, 127] velocity contract.
+    if not np.isfinite(full_roll).all():
+        full_roll = np.nan_to_num(full_roll, nan=0.0, posinf=127.0,
+                                  neginf=0.0)
+    np.clip(full_roll, 0.0, 127.0, out=full_roll)
     is_onset = False
     pedal_1d = None
     if full_roll.ndim == 3 and full_roll.shape[0] == 1:
@@ -125,10 +132,13 @@ def roll_to_midi(full_roll: np.ndarray, fs: float = 100, program: int = 0,
             pedal_roll = full_roll[2]
             is_onset = True
         pedal_roll[pedal_roll < 4] = 0  # background must be 0
+        lane = pedal_roll[MIN_PIANO:MAX_PIANO + 1]
         pedal_1d = (
-            pedal_roll[MIN_PIANO:MAX_PIANO + 1].mean(axis=0).astype(np.intc)
+            lane.mean(axis=0).astype(np.intc) if lane.size
+            else np.zeros(pedal_roll.shape[-1], dtype=np.intc)
         )
-        is_pedal = not math.isclose(float(pedal_1d.max()), 0.0)
+        is_pedal = pedal_1d.size > 0 and \
+            not math.isclose(float(pedal_1d.max()), 0.0)
     else:
         piano_roll = full_roll
         is_pedal = False

@@ -269,3 +269,39 @@ def test_native_rasterizer_matches_python():
     nat = midi_to_roll(midi, fs=100, length=1024, use_native=True)
     py = midi_to_roll(midi, fs=100, length=1024, use_native=False)
     np.testing.assert_array_equal(nat, py)
+
+
+def test_roll_to_midi_nan_and_degenerate_inputs():
+    """NaN/Inf lanes must decode cleanly (silence), never cast to garbage
+    CC values or raise (VERDICT r1 item 10)."""
+    import warnings
+
+    from rule_guided_music_tpu.data.pianoroll import roll_to_midi
+
+    # all-NaN 3-channel roll -> valid, empty MIDI
+    roll = np.full((3, 128, 256), np.nan, dtype=np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        midi = roll_to_midi(roll)
+    assert midi.notes == []
+    assert not midi.control_changes
+
+    # NaN pedal lane under real notes: notes survive, pedal is silent
+    roll = np.zeros((3, 128, 256), dtype=np.float32)
+    roll[0, 60, 10:50] = 90.0
+    roll[1, 60, 10] = 127.0
+    roll[2] = np.nan
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        midi = roll_to_midi(roll)
+    assert len(midi.notes) == 1 and midi.notes[0].pitch == 60
+    assert not midi.control_changes
+
+    # +/-Inf velocities clamp to the [0, 127] contract
+    roll = np.zeros((3, 128, 64), dtype=np.float32)
+    roll[0, 70, 5:20] = np.inf
+    roll[1, 70, 5] = 127.0
+    roll[0, 40, 5:20] = -np.inf
+    midi = roll_to_midi(roll)
+    assert [n.pitch for n in midi.notes] == [70]
+    assert midi.notes[0].velocity <= 127
