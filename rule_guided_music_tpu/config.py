@@ -140,8 +140,11 @@ def sampler_config_from_yaml(
             for name in rule_names
             if hasattr(scg_ns, name)
         )
-        dc_base = 0
-        if dc_ns is not None and bool(_ns_get(sampling_ns, "diff_collage", False)):
+        # windowed-SCG base: the reference reads guidance.dc.base
+        # (configs/cond_demo/demo2.yml); fall back to top-level dc.base
+        dc_base = int(_ns_get(_ns_get(guidance_ns, "dc"), "base", 0) or 0)
+        if not dc_base and dc_ns is not None and \
+                bool(_ns_get(sampling_ns, "diff_collage", False)):
             dc_base = int(_ns_get(dc_ns, "base", 0) or 0)
         scg = SCGConfig(
             num_samples=int(_ns_get(scg_ns, "num_samples", 16)),

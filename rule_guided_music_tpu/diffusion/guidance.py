@@ -88,6 +88,16 @@ def rule_x0_mse_logprob(rule_name, x, t, rule):
     return _mse_logprob(logits, rule)
 
 
+# Supported cond_fn names from the YAML schema (reference
+# condition_functions.py function_map :149-158) — CondFnSpec.logprob
+# dispatches on exactly this set.
+COND_FN_NAMES = (
+    "grad_nn_zt_mse", "grad_nn_zt_xentropy", "grad_nn_zt_chord",
+    "nn_z0_mse_dummy", "nn_z0_chord_dummy", "nn_z0_mse",
+    "rule_x0_mse_dummy", "rule_x0_mse",
+)
+
+
 @dataclass(frozen=True)
 class CondFnSpec:
     """One term of a composite cond_fn (one row of the YAML cond_fn block)."""

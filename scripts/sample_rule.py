@@ -50,7 +50,9 @@ def main():
     logger.configure(args=args)
     config = load_config(args.config_path)
     if config.sampling.use_ddim:
-        args.timestep_respacing = config.sampling.timestep_respacing
+        args.timestep_respacing = getattr(
+            config.sampling, "timestep_respacing", args.timestep_respacing
+        )
 
     logger.log("creating model and diffusion...")
     denoiser = pipeline.DenoiserBundle.create(
