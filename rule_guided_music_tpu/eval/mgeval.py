@@ -69,6 +69,13 @@ def note_density(midi: MidiData) -> float:
     return float(len(midi.notes) / end) if end > 0 else 0.0
 
 
+# This module's feature keys -> the reference music_evaluator attribute
+# names (eval_uncond.py:12-21) for results-table compatibility.
+ATTRIBUTE_ALIASES = {
+    "avg_velocity": "mean_note_velocity",
+    "note_length": "mean_note_duration",
+}
+
 FEATURES = {
     "total_used_pitch": total_used_pitch,
     "pitch_range": pitch_range,

@@ -167,9 +167,44 @@ def make_output_format(fmt, ev_dir, log_suffix=""):
         try:
             import wandb  # noqa: F401
         except ImportError:
+            print("wandb not installed; falling back to stdout sink",
+                  file=sys.stderr)
             return HumanOutputFormat(sys.stdout)
-        raise NotImplementedError("wandb sink: configure via wandb.init in the script")
+        return WandbOutputFormat(ev_dir)
     raise ValueError(f"Unknown format specified: {fmt}")
+
+
+class WandbOutputFormat(KVWriter):
+    """wandb sink (reference logger.py:193-230): one run per log dir, named
+    after it; env WANDB_PROJECT / WANDB_RUN_NAME override the defaults."""
+
+    def __init__(self, ev_dir):
+        import wandb
+
+        self._wandb = wandb
+        if wandb.run is None:
+            wandb.init(
+                project=os.environ.get("WANDB_PROJECT",
+                                       "rule-guided-music-tpu"),
+                name=os.environ.get("WANDB_RUN_NAME",
+                                    osp.basename(osp.normpath(ev_dir))),
+                dir=ev_dir,
+                config={"log_dir": ev_dir},
+            )
+
+    def writekvs(self, kvs):
+        numeric = {}
+        for k, v in kvs.items():
+            try:
+                numeric[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        step = int(numeric.pop("step", 0)) or None
+        self._wandb.log(numeric, step=step)
+
+    def close(self):
+        if self._wandb.run is not None:
+            self._wandb.finish()
 
 
 class Logger:

@@ -43,9 +43,22 @@ from rule_guided_music_tpu.rules.tensor_rules import (
 from rule_guided_music_tpu.utils import logger
 
 
-def resolve_edit_targets(config, gt_partial, batch_size, rng):
+def resolve_edit_targets(config, gt_partial, batch_size, rng,
+                         nd_bins_file: str = ""):
     """Build target rules for the editable slice, incl. nd class shifting
-    (reference edit.py:186-253)."""
+    (reference edit.py:186-253).
+
+    ``nd_bins_file``: optional JSON from eval_results/edit_create_bins.py
+    ({vertical,horizontal}_{bounds,centers}) — dataset-derived nd class
+    tables, already in rule-function units (no hr_scale division needed);
+    defaults to the reference's hard-wired tables otherwise.
+    """
+    nd_bins = None
+    if nd_bins_file:
+        import json
+
+        with open(nd_bins_file) as f:
+            nd_bins = json.load(f)
     model_rules = {}
     target_rules = vars(config.target_rules)
     for rule_name, val in target_rules.items():
@@ -61,10 +74,16 @@ def resolve_edit_targets(config, gt_partial, batch_size, rng):
                 nd_name = "note_density"
             orig_rule = FUNC_DICT[nd_name](gt_partial)
             if isinstance(val, int) or val is None:
-                vt_bounds = jnp.asarray(VERTICAL_ND_BOUNDS)
-                hr_bounds = jnp.asarray(HORIZONTAL_ND_BOUNDS) / hr_scale
-                vt_center = jnp.asarray(VERTICAL_ND_CENTER)
-                hr_center = jnp.asarray(HORIZONTAL_ND_CENTER) / hr_scale
+                if nd_bins is not None:
+                    vt_bounds = jnp.asarray(nd_bins["vertical_bounds"])
+                    hr_bounds = jnp.asarray(nd_bins["horizontal_bounds"])
+                    vt_center = jnp.asarray(nd_bins["vertical_centers"])
+                    hr_center = jnp.asarray(nd_bins["horizontal_centers"])
+                else:
+                    vt_bounds = jnp.asarray(VERTICAL_ND_BOUNDS)
+                    hr_bounds = jnp.asarray(HORIZONTAL_ND_BOUNDS) / hr_scale
+                    vt_center = jnp.asarray(VERTICAL_ND_CENTER)
+                    hr_center = jnp.asarray(HORIZONTAL_ND_CENTER) / hr_scale
                 if isinstance(val, int):
                     v_shift = val
                     h_shift = 0
@@ -113,7 +132,9 @@ def main():
     logger.configure(args=args)
     config = load_config(args.config_path)
     if config.sampling.use_ddim:
-        args.timestep_respacing = config.sampling.timestep_respacing
+        args.timestep_respacing = getattr(
+            config.sampling, "timestep_respacing", args.timestep_respacing
+        )
 
     denoiser = pipeline.DenoiserBundle.create(
         args.model, input_size=args.image_size, in_channels=args.in_channels,
@@ -188,7 +209,8 @@ def main():
 
     gt_partial = gt[:, :, :, l_start * 8:l_end * 8]
     rng_np = np.random.default_rng(args.seed)
-    rules = resolve_edit_targets(config, gt_partial, args.batch_size, rng_np)
+    rules = resolve_edit_targets(config, gt_partial, args.batch_size, rng_np,
+                                 nd_bins_file=args.nd_bins_file)
 
     sampler_config = sampler_config_from_yaml(
         config, learn_sigma=args.learn_sigma, record=args.record,
@@ -278,6 +300,7 @@ def create_argparser():
         record=False,
         save_files=True,
         seed=0,
+        nd_bins_file="",
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -1,6 +1,9 @@
 """Evaluation suite tests: mgeval features, REMI tokenization, chords."""
 
+import os
+
 import numpy as np
+import pandas as pd
 import pytest
 
 from rule_guided_music_tpu.data.midi_io import MidiData, Note, write_midi
@@ -99,3 +102,61 @@ def test_chord_recognition_empty_window():
     midi = MidiData(notes=[Note(80, 60, 0.0, 0.5)])
     labels = recognize_chords(midi, window_seconds=1.0, total_seconds=2.0)
     assert labels[1] == ("N", -1)
+
+
+def test_eval_results_aggregation_scripts(tmp_path):
+    """eval_uncond / eval_uncond_summary / edit_create_bins CLI chain
+    (VERDICT r1 item 8) over synthetic inputs."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    # per-run mgeval CSVs in the <dataset>.<method>.<mean|std>.csv layout
+    attrs = ["total_used_pitch", "avg_IOI", "total_pitch_class_histogram",
+             "pitch_range", "mean_note_velocity", "mean_note_duration",
+             "note_density", "avg"]
+    folder = tmp_path / "uncond" / "ours"
+    folder.mkdir(parents=True)
+    for method, oa in [("scg", 0.8), ("base", 0.6)]:
+        for stat in ("mean", "std"):
+            pd.DataFrame({
+                "attribute": attrs,
+                "KL": [0.1] * len(attrs),
+                "OA": [oa] * len(attrs),
+            }).to_csv(folder / f"maestro.{method}.{stat}.csv", index=False)
+
+    run = lambda *cmd: subprocess.run(
+        [sys.executable, *cmd], env=env, cwd=repo, capture_output=True,
+        text=True)
+    r = run("scripts/eval_results/eval_uncond.py",
+            "--path_to_folder", str(folder) + os.sep)
+    assert r.returncode == 0, r.stderr
+    mean = pd.read_csv(folder / "results_mean.csv")
+    assert set(mean.method) == {"scg", "base"}
+    assert mean[mean.method == "scg"].avg.item() == 0.8
+
+    r = run("scripts/eval_results/eval_uncond_summary.py",
+            "--path_to_folder", str(tmp_path / "uncond") + os.sep)
+    assert r.returncode == 0, r.stderr
+    summary = pd.read_csv(tmp_path / "uncond" / "summary_mean.csv")
+    assert len(summary) == 2
+
+    # edit_create_bins over a synthetic results.csv
+    rng = np.random.default_rng(0)
+    rows = [str([round(float(x), 3)
+                 for x in rng.uniform(0.5, 7.5, size=16)])
+            for _ in range(40)]
+    results = tmp_path / "results.csv"
+    pd.DataFrame({"note_density.target_rule": rows}).to_csv(
+        results, index=False)
+    bins_json = tmp_path / "bins.json"
+    r = run("scripts/eval_results/edit_create_bins.py",
+            "--file_name", str(results), "--out", str(bins_json))
+    assert r.returncode == 0, r.stderr
+    bins = json.loads(bins_json.read_text())
+    assert len(bins["vertical_bounds"]) == 7
+    assert len(bins["vertical_centers"]) == 8
+    assert bins["horizontal_bounds"] == sorted(bins["horizontal_bounds"])
