@@ -160,3 +160,63 @@ def test_eval_results_aggregation_scripts(tmp_path):
     assert len(bins["vertical_bounds"]) == 7
     assert len(bins["vertical_centers"]) == 8
     assert bins["horizontal_bounds"] == sorted(bins["horizontal_bounds"])
+
+
+def test_remi_golden_fixture_events_and_chords():
+    """VERDICT r1 item 9: a hand-verified MIDI with hand-computed REMI event
+    stream + chord labels pins the eval instrument itself. Grid: 120 bpm 4/4
+    (bar = 2.0 s, position = 0.125 s); chord window = 1.0 s."""
+    from rule_guided_music_tpu.data.midi_io import MidiData, Note
+    from rule_guided_music_tpu.eval.remi import (
+        Vocab,
+        chord_symbols,
+        events_to_midi,
+        midi_to_events,
+        recognize_chords,
+    )
+
+    midi = MidiData()
+    # bar 0, beat 1: C major triad, half a second
+    midi.notes += [
+        Note(velocity=100, pitch=60, start=0.0, end=0.5),
+        Note(velocity=80, pitch=64, start=0.0, end=0.5),
+        Note(velocity=64, pitch=67, start=0.0, end=0.5),
+    ]
+    # bar 1, beat 1: F minor triad, one full second
+    midi.notes += [
+        Note(velocity=90, pitch=65, start=2.0, end=3.0),
+        Note(velocity=90, pitch=68, start=2.0, end=3.0),
+        Note(velocity=90, pitch=72, start=2.0, end=3.0),
+    ]
+
+    # hand-computed golden stream:
+    #   velocity bins: v*32/128 -> 100->25, 80->20, 64->16, 90->22
+    #   durations: 0.5 s = 4 positions -> bin 3; 1.0 s = 8 positions -> bin 5
+    events = midi_to_events(midi)
+    assert [str(e) for e in events] == [
+        "Bar_0",
+        "Position_0", "Pitch_60", "Velocity_25", "Duration_3",
+        "Position_0", "Pitch_64", "Velocity_20", "Duration_3",
+        "Position_0", "Pitch_67", "Velocity_16", "Duration_3",
+        "Bar_1",
+        "Position_0", "Pitch_65", "Velocity_22", "Duration_5",
+        "Position_0", "Pitch_68", "Velocity_22", "Duration_5",
+        "Position_0", "Pitch_72", "Velocity_22", "Duration_5",
+    ]
+
+    # vocab round trip is exact
+    vocab = Vocab()
+    ids = vocab.encode(events)
+    assert [str(e) for e in vocab.decode(ids)] == [str(e) for e in events]
+
+    # grid-quantized reconstruction lands on the same starts/pitches/durations
+    rebuilt = events_to_midi(events)
+    assert [(n.pitch, n.start, n.end) for n in rebuilt.notes] == [
+        (60, 0.0, 0.5), (64, 0.0, 0.5), (67, 0.0, 0.5),
+        (65, 2.0, 3.0), (68, 2.0, 3.0), (72, 2.0, 3.0),
+    ]
+
+    # chord recognition: C major / silence / F minor — theory ground truth
+    labels = recognize_chords(midi)
+    assert labels == [("maj", 0), ("N", -1), ("min", 5)]
+    assert chord_symbols(labels) == ["C:maj", "N", "F:min"]
