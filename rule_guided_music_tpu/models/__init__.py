@@ -1,2 +1,2 @@
 from .dit import DiT_models, DiT, DiTRotary, DiTClassifier, DiTRotaryClassifier
-from .vae import AutoencoderKL, DiagonalGaussian
+from .vae import AutoencoderKL, DiagonalGaussian, ScoringDecoder

@@ -228,6 +228,47 @@ class DiagonalGaussian:
         )
 
 
+class ScoringDecoder(nn.Module):
+    """Reduced-width decoder for SCG candidate *scoring* (opt-in perf lever).
+
+    SCG spends ~75% of a guided step decoding k*B candidate latents through
+    the full decoder only to rank them by rule loss (docs/PERF.md). This is
+    a narrower decoder (default ch=64: ~4x fewer conv FLOPs) distilled to
+    match the full decoder's outputs (scripts/distill_scoring_decoder.py) —
+    selection semantics only; the final decode stays full, mirroring the
+    reference where selection and output decode are the same call but only
+    selection is throughput-critical (gaussian_diffusion.py:524,1347-1358).
+
+    Same NCHW ``decode`` API as AutoencoderKL so it can stand in for the
+    scoring path in pipeline.make_sample_fn(scoring_vae_model=...).
+    """
+
+    ch: int = 64
+    ch_mult: Sequence[int] = (1, 2, 2, 4)
+    num_res_blocks: int = 2
+    out_ch: int = 3
+    z_channels: int = 4
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.post_quant_conv = nn.Conv(self.z_channels, (1, 1),
+                                       dtype=self.dtype)
+        self.decoder = Decoder(
+            ch=self.ch, ch_mult=self.ch_mult,
+            num_res_blocks=self.num_res_blocks, out_ch=self.out_ch,
+            dtype=self.dtype,
+        )
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        z = jnp.transpose(z, (0, 2, 3, 1))
+        z = self.post_quant_conv(z)
+        dec = self.decoder(z)
+        return jnp.transpose(dec, (0, 3, 1, 2)).astype(jnp.float32)
+
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(z)
+
+
 class AutoencoderKL(nn.Module):
     """KL autoencoder with quant convs (taming/models/klvae_pedal.py:13-102).
 

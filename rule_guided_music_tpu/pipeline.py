@@ -266,6 +266,7 @@ def make_sample_fn(
     w: float = 0.0,
     collage: Optional[dict] = None,
     mesh=None,
+    scoring_vae_model=None,
 ):
     """Build a jitted ``generate(rng, params, rules, y[, edit])`` function.
 
@@ -299,7 +300,19 @@ def make_sample_fn(
             )
 
         decode_fn = None
-        if vae_model is not None and use_decode:
+        if scoring_vae_model is not None and use_decode:
+            # opt-in light decoder: SCG candidate *scoring* only (final
+            # decode elsewhere stays full — reference semantics, selection
+            # is the throughput-critical path). Expects a
+            # params["scoring_vae"] tree from distill_scoring_decoder.py.
+            decode_fn = make_decode_fn(
+                lambda z: scoring_vae_model.apply(
+                    params["scoring_vae"], z,
+                    method=type(scoring_vae_model).decode,
+                ),
+                scale_factor=scale_factor,
+            )
+        elif vae_model is not None and use_decode:
             decode_fn = make_decode_fn(
                 lambda z: vae_model.apply(
                     params["vae"], z, method=type(vae_model).decode

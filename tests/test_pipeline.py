@@ -261,3 +261,36 @@ def test_make_sample_fn_mesh_matches_single_device(tiny_world):
     assert out_m.shape == (8, 4, 16, 16)
     np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_make_sample_fn_scg_with_light_scoring_decoder(tiny_world):
+    """Opt-in ScoringDecoder routes SCG candidate ranking through the light
+    decoder (bundle['scoring_vae']) while the full VAE stays untouched."""
+    from rule_guided_music_tpu.models import ScoringDecoder
+
+    denoiser, d_params, vae, v_params, _, _ = tiny_world
+    light = ScoringDecoder(ch=16, ch_mult=(1, 2, 2, 4), num_res_blocks=1)
+    l_params = light.init(jax.random.PRNGKey(9), jnp.zeros((1, 4, 2, 2)))
+
+    tables = make_schedule("linear", 1000, timestep_respacing="4").tables()
+    cfg = SamplerConfig(
+        sampler="ddpm",
+        guidance=GuidanceConfig(method="no_guidance", schedule=True,
+                                t_start=4, t_end=0, interval=1),
+        scg=SCGConfig(num_samples=2, weights=(("pitch_hist", 1.0),)),
+    )
+    generate = pipeline.make_sample_fn(
+        denoiser_model=denoiser, tables=tables, sampler_config=cfg,
+        gen_shape=(1, 4, 16, 16), vae_model=vae,
+        use_decode=True, scale_factor=1.25, num_classes=3,
+        scoring_vae_model=light,
+    )
+    bundle = {
+        "denoiser": d_params, "vae": v_params, "classifiers": (),
+        "scoring_vae": l_params,
+    }
+    rules = {"pitch_hist": jnp.ones((1, 12)) / 12.0}
+    y = jnp.zeros((1,), dtype=jnp.int32)
+    latents, _ = generate(jax.random.PRNGKey(0), bundle, rules, y)
+    assert latents.shape == (1, 4, 16, 16)
+    assert bool(jnp.isfinite(latents).all())
