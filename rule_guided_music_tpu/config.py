@@ -172,4 +172,5 @@ def sampler_config_from_yaml(
         scg=scg,
         edit=edit,
         record=record,
+        record_states=record,
     )

@@ -82,6 +82,10 @@ class SamplerConfig:
     scg: Optional[SCGConfig] = None
     edit: Optional[EditConfig] = None
     record: bool = False
+    # Also stack per-step sampler states x_{t-1} into the record (memory:
+    # steps x B x C x H x W) — the reference --record's intermediate
+    # piano-roll dumps (gaussian_diffusion.py:594-632); decode host-side.
+    record_states: bool = False
 
 
 def _split_eps(model_output: jnp.ndarray, var_type: gd.ModelVarType) -> jnp.ndarray:
@@ -181,6 +185,9 @@ def _scg_select(
             record["loss_range"] = jnp.abs(
                 best.mean() - total_log_prob.min()
             )
+            # full per-candidate matrix: the reference's per-step candidate
+            # loss bar charts (gaussian_diffusion.py:622-632)
+            record["candidate_log_prob"] = total_log_prob
     else:
         # Windowed selection for DiffCollage long scores: argmax per
         # dc_base-sized window (gaussian_diffusion.py:562-592).
@@ -221,7 +228,8 @@ def _scg_select(
     return selected, record
 
 
-def _empty_record(config: SamplerConfig, rules: Mapping[str, jnp.ndarray]):
+def _empty_record(config: SamplerConfig, rules: Mapping[str, jnp.ndarray],
+                  b: int = 0):
     rec = {}
     if not config.record:
         return rec
@@ -231,6 +239,9 @@ def _empty_record(config: SamplerConfig, rules: Mapping[str, jnp.ndarray]):
     if config.scg is not None and config.scg.dc_base <= 0:
         for rule_name in rules:
             rec[f"loss/{rule_name}"] = jnp.float32(0)
+        rec["candidate_log_prob"] = jnp.zeros(
+            (config.scg.num_samples, b), dtype=jnp.float32
+        )
     return rec
 
 
@@ -430,7 +441,7 @@ def sample_loop(
                 rng_, mean_, coeff_ = args
                 nz = (t_scalar > config.t_end).astype(x.dtype)
                 n = jax.random.normal(rng_, mean_.shape, dtype=mean_.dtype)
-                return mean_ + nz * coeff_ * n, _empty_record(config, rules)
+                return mean_ + nz * coeff_ * n, _empty_record(config, rules, b)
 
             # At t == t_end the reference returns the bare mean (p_sample
             # :732-733); fold that in by zeroing noise inside plain_branch
@@ -440,8 +451,11 @@ def sample_loop(
                 do_scg, scg_branch, plain_branch, (scg_rng, base_mean, g_coeff)
             )
         else:
-            sample, record = plain_sample, _empty_record(config, rules)
+            sample, record = plain_sample, _empty_record(config, rules, b)
 
+        if config.record and config.record_states:
+            record = dict(record)
+            record["state"] = sample
         return (sample, rng), record
 
     (final, _), records = jax.lax.scan(step, (x_init, rng), ts)

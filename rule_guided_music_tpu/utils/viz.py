@@ -44,11 +44,53 @@ def plot_record(values, title: str, save_dir: str):
 
 
 def plot_records(records: Dict[str, np.ndarray], save_dir: str):
-    """Plot every series in a sampler record dict (log_prob, loss_std, ...)."""
+    """Plot every series in a sampler record dict (log_prob, loss_std, ...).
+
+    Scalar-per-step series get line plots; the (steps, k, B) per-candidate
+    loss matrix gets bar charts for a few representative steps (the
+    reference's debug bar charts, gaussian_diffusion.py:622-632); the
+    (steps, B, C, H, W) state stack is skipped here (dumped separately as
+    piano-roll images by the caller).
+    """
     paths = []
     for name, series in records.items():
+        arr = np.asarray(series)
         safe = name.replace("/", "_")
-        paths.append(plot_record(np.asarray(series), safe, save_dir))
+        if name == "state":
+            continue
+        if name == "candidate_log_prob" and arr.ndim == 3:
+            paths += plot_candidate_bars(arr, save_dir)
+            continue
+        if arr.ndim == 1 or (arr.ndim == 2 and arr.shape[1] == 2):
+            paths.append(plot_record(arr, safe, save_dir))
+    return paths
+
+
+def plot_candidate_bars(candidate_log_prob: np.ndarray, save_dir: str,
+                        num_steps: int = 4):
+    """Bar-chart the k-candidate log-probs for a few steps (example 0)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps = np.linspace(0, len(candidate_log_prob) - 1, num_steps,
+                        dtype=int)
+    os.makedirs(save_dir, exist_ok=True)
+    paths = []
+    for s in steps:
+        vals = candidate_log_prob[s, :, 0]
+        if not np.any(vals):
+            continue  # unguided step (empty record)
+        plt.figure(figsize=(4, 2.5))
+        plt.bar(np.arange(len(vals)), vals)
+        plt.title(f"candidate log-probs, scan step {s}")
+        plt.xlabel("candidate")
+        path = os.path.join(save_dir, f"candidates_step{s}.png")
+        plt.tight_layout()
+        plt.savefig(path, dpi=120)
+        plt.close()
+        paths.append(path)
     return paths
 
 

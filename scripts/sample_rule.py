@@ -217,11 +217,26 @@ def main():
         import pickle
 
         rec_np = {k: np.asarray(v) for k, v in records.items()}
+        states = rec_np.pop("state", None)
         with open(os.path.join(save_dir, "record.pkl"), "wb") as f:
             pickle.dump(rec_np, f)
         from rule_guided_music_tpu.utils.viz import plot_records
 
         plot_records(rec_np, save_dir)
+        if states is not None and decode_rolls is not None:
+            # decode + dump a few intermediate states as piano-roll images
+            # (reference --record intermediate dumps)
+            from rule_guided_music_tpu.utils.viz import save_piano_roll_image
+
+            idx = np.linspace(0, len(states) - 1, 6, dtype=int)
+            inter = decode_rolls(params_bundle["vae"],
+                                 jnp.asarray(states[idx, 0]))
+            inter = finalize_decoded_sample(
+                np.asarray(inter), BACKGROUND_THRESHOLD)
+            for j, step_i in enumerate(idx):
+                save_piano_roll_image(
+                    inter[j], os.path.join(save_dir,
+                                           f"state_step{step_i}.png"))
         logger.log(f"wrote per-step diagnostics to {save_dir}/record.pkl")
 
     logger.log("sampling complete")

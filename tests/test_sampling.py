@@ -413,3 +413,38 @@ def test_scg_windowed_dc_selection(tables):
             for i in range(k)
         ]
         assert any(matches), f"window {w} is not any candidate's window"
+
+
+def test_record_mode_candidate_matrix_and_states(tables):
+    """--record parity beyond scalars: per-candidate log-prob matrices and
+    (with record_states) the per-step state stack (reference
+    gaussian_diffusion.py:594-632 intermediate dumps)."""
+    shape = (2, 1, 16, 4)
+    x0 = jnp.full((1, 1, 16, 4), 0.25)   # broadcasts over the k*B SCG batch
+    k, steps = 3, tables.num_timesteps
+    cfg = SamplerConfig(
+        sampler="ddpm",
+        guidance=GuidanceConfig(method="no_guidance", schedule=True,
+                                t_start=steps, t_end=0),
+        scg=SCGConfig(num_samples=k, weights=(("pitch_hist", 1.0),)),
+        record=True,
+        record_states=True,
+    )
+    rules = {"pitch_hist": jnp.ones((2, 12)) / 12.0}
+
+    def decode_fn(z):
+        roll = jnp.tile(z, (1, 1, 8, 32))
+        return roll  # (N, 1, 128, 128)
+
+    sample, record = sample_loop(
+        jax.random.PRNGKey(0), oracle_model(tables, x0), shape, tables,
+        cfg, rules=rules, decode_fn=decode_fn,
+    )
+    assert record["candidate_log_prob"].shape == (steps, k, 2)
+    # guided steps carry real (nonzero) candidate scores
+    assert bool(jnp.any(record["candidate_log_prob"] != 0))
+    assert record["state"].shape == (steps,) + shape
+    # the last recorded state IS the returned sample
+    np.testing.assert_allclose(
+        np.asarray(record["state"][-1]), np.asarray(sample), atol=1e-6
+    )
