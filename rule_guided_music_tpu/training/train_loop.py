@@ -85,6 +85,7 @@ class TrainConfig:
     save_interval: int = 10000
     keep_checkpoints: int = 0      # retain only the newest K step_* dirs (0 = all)
     eval_interval: int = -1
+    profile_step: int = -1         # jax.profiler-trace this one step (-1 = off)
     mean_type: gd.ModelMeanType = gd.ModelMeanType.EPSILON
     var_type: gd.ModelVarType = gd.ModelVarType.FIXED_LARGE
     loss_type: gd.LossType = gd.LossType.MSE
@@ -430,7 +431,11 @@ class TrainLoop:
             and (max_steps is None or self.step < max_steps)
         ):
             batch, cond = next(self.data)
-            self.run_step(batch, cond)
+            if self.step == cfg.profile_step:
+                with logger.jax_trace():
+                    self.run_step(batch, cond)
+            else:
+                self.run_step(batch, cond)
             if self.eval_fn is not None and cfg.eval_interval > 0 and \
                     self.step % cfg.eval_interval == 0:
                 self.eval_fn(self)

@@ -333,6 +333,34 @@ def profile_kv(scopename):
         get_current().name2val[logkey] += time.time() - tstart
 
 
+@contextmanager
+def jax_trace(log_dir=None):
+    """Wrap a block in a jax.profiler trace (TensorBoard-viewable).
+
+    The aux-subsystem tracing hook SURVEY.md §5 calls for: profile_kv gives
+    wall-clock KVs, this gives the full XLA op-level timeline. No-op (with a
+    log line) if the backend can't trace.
+    """
+    import jax
+
+    dir_ = log_dir or osp.join(get_dir() or ".", "jax_trace")
+    started = False
+    try:
+        jax.profiler.start_trace(dir_)
+        started = True
+    except Exception as e:  # plugin backends may not support tracing
+        log(f"jax.profiler trace unavailable: {e}")
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+                log(f"jax trace written to {dir_}")
+            except Exception as e:
+                log(f"jax.profiler stop_trace failed: {e}")
+
+
 def profile(n):
     def decorator_with_name(func):
         def func_wrapper(*args, **kwargs):

@@ -60,25 +60,35 @@ def main():
         rng=jax.random.PRNGKey(2),
     )
 
+    profile_dir = os.environ.get("PERF_PROBE_TRACE_DIR", "")
     fwd = jax.jit(model.apply)
     dec = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
 
     # -- component costs ----------------------------------------------------
+    # PERF_PROBE_TRACE_DIR=<dir> wraps the component sweep in a
+    # jax.profiler trace (op-level timeline, TensorBoard-viewable).
+    import contextlib
+
+    from rule_guided_music_tpu.utils import logger as _logger
+
+    trace_cm = (_logger.jax_trace(profile_dir) if profile_dir
+                else contextlib.nullcontext())
     print("== components ==", flush=True)
-    for b in (4, 64, 68):
-        x = jnp.zeros((b, 4, 128, 16))
-        t = jnp.zeros((b,))
-        y = jnp.zeros((b,), dtype=jnp.int32)
-        ms = timeit(fwd, params, x, t, y, reps=10) * 1000
-        flops = 2 * 675e6 * 256 * b
-        print(f"denoiser B={b}: {ms:7.2f} ms  ({flops/ms*1e-9:.0f} TFLOP/s)",
-              flush=True)
-    for n in (32, 512):
-        z = jnp.zeros((n, 4, 16, 16))
-        ms = timeit(dec, vae_params, z, reps=5) * 1000
-        flops = 75e9 * n
-        print(f"vae decode N={n}: {ms:7.2f} ms  ({flops/ms*1e-9:.0f} TFLOP/s)",
-              flush=True)
+    with trace_cm:
+        for b in (4, 64, 68):
+            x = jnp.zeros((b, 4, 128, 16))
+            t = jnp.zeros((b,))
+            y = jnp.zeros((b,), dtype=jnp.int32)
+            ms = timeit(fwd, params, x, t, y, reps=10) * 1000
+            flops = 2 * 675e6 * 256 * b
+            print(f"denoiser B={b}: {ms:7.2f} ms  ({flops/ms*1e-9:.0f} TFLOP/s)",
+                  flush=True)
+        for n in (32, 512):
+            z = jnp.zeros((n, 4, 16, 16))
+            ms = timeit(dec, vae_params, z, reps=5) * 1000
+            flops = 75e9 * n
+            print(f"vae decode N={n}: {ms:7.2f} ms  ({flops/ms*1e-9:.0f} TFLOP/s)",
+                  flush=True)
 
     # -- unguided DDIM-1000 --------------------------------------------------
     print("== chains ==", flush=True)

@@ -88,6 +88,7 @@ def main():
         save_interval=args.save_interval,
         keep_checkpoints=args.keep_checkpoints,
         eval_interval=args.eval_interval,
+        profile_step=args.profile_step,
         var_type=(gd.ModelVarType.LEARNED_RANGE if args.learn_sigma
                   else gd.ModelVarType.FIXED_LARGE),
         loss_type=(gd.LossType.RESCALED_MSE if args.learn_sigma
@@ -180,6 +181,7 @@ def create_argparser():
         bf16=True,
         seed=0,
         max_steps=-1,
+        profile_step=-1,
     )
     defaults.update(diffusion_defaults())
     parser = argparse.ArgumentParser()
