@@ -60,6 +60,7 @@ class VAETrainConfig:
     kl_weight: float = 1e-2
     disc_weight: float = 0.0          # released config: disc off
     disc_start: int = 100_000
+    perceptual_weight: float = 0.0    # released config: LPIPS off for rolls
     betas: Tuple[float, float] = (0.5, 0.9)
 
 
@@ -67,15 +68,23 @@ def make_vae_train_steps(
     vae: AutoencoderKL,
     config: VAETrainConfig,
     disc: Optional[NLayerDiscriminator] = None,
+    lpips=None,
+    lpips_params=None,
 ):
     """Build jitted (ae_step, disc_step). Each takes/returns explicit state
-    trees; the discriminator step is a no-op closure when disc_weight == 0."""
+    trees; the discriminator step is a no-op closure when disc_weight == 0.
+    ``lpips``/``lpips_params``: frozen perceptual module (training/
+    perceptual.py) added to the reconstruction term when
+    ``perceptual_weight > 0`` (contperceptual.py:42-46 semantics)."""
     ae_opt = optax.adam(config.lr, b1=config.betas[0], b2=config.betas[1])
     disc_opt = optax.adam(config.lr, b1=config.betas[0], b2=config.betas[1])
 
     def ae_loss_fn(params, disc_params, batch, rng, step):
         recon, posterior = vae.apply(params, batch, rng=rng)
         rec_loss = jnp.abs(batch - recon).mean()
+        if lpips is not None and config.perceptual_weight > 0:
+            p_loss = lpips.apply(lpips_params, batch, recon).mean()
+            rec_loss = rec_loss + config.perceptual_weight * p_loss
         kl_loss = posterior.kl().mean() / jnp.prod(
             jnp.asarray(batch.shape[1:], jnp.float32)
         )

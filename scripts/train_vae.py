@@ -48,6 +48,11 @@ def main():
     parser.add_argument("--base_lr", type=float, default=4.5e-6)
     parser.add_argument("--kl_weight", type=float, default=1e-2)
     parser.add_argument("--disc_weight", type=float, default=0.0)
+    parser.add_argument("--perceptual_weight", type=float, default=0.0)
+    parser.add_argument("--lpips_vgg_path", default="",
+                        help="torch VGG16 features .pt for the LPIPS term")
+    parser.add_argument("--lpips_lins_path", default="",
+                        help="taming vgg.pth linear heads for LPIPS")
     parser.add_argument("--iterations", type=int, default=100000)
     parser.add_argument("--log_interval", type=int, default=50)
     parser.add_argument("--save_interval", type=int, default=5000)
@@ -64,15 +69,43 @@ def main():
         lr=args.base_lr * args.batch_size,
         kl_weight=args.kl_weight,
         disc_weight=args.disc_weight,
+        perceptual_weight=args.perceptual_weight,
     )
     disc = NLayerDiscriminator() if args.disc_weight > 0 else None
+    lpips = lpips_params = None
+    if args.perceptual_weight > 0:
+        import jax as _jax
+
+        from rule_guided_music_tpu.training.perceptual import (
+            LPIPS,
+            convert_torch_lpips,
+        )
+
+        lpips = LPIPS()
+        if args.lpips_vgg_path and args.lpips_lins_path:
+            from rule_guided_music_tpu.models.torch_port import (
+                load_torch_state_dict,
+            )
+
+            lpips_params = _jax.tree_util.tree_map(
+                jnp.asarray,
+                convert_torch_lpips(
+                    load_torch_state_dict(args.lpips_vgg_path),
+                    load_torch_state_dict(args.lpips_lins_path),
+                ),
+            )
+        else:
+            logger.log("WARNING: perceptual term with random LPIPS weights "
+                       "(pass --lpips_vgg_path/--lpips_lins_path)")
+            x0 = jnp.zeros((1, 3, 128, 128))
+            lpips_params = lpips.init(_jax.random.PRNGKey(7), x0, x0)
     disc_params = (
         _init_on_host(disc.init, jax.random.PRNGKey(7),
                       jnp.zeros((1, 3, 128, 128)))
         if disc is not None else None
     )
     ae_opt, disc_opt, ae_step, disc_step = make_vae_train_steps(
-        vae, config, disc
+        vae, config, disc, lpips=lpips, lpips_params=lpips_params
     )
     opt_state = ae_opt.init(params)
     disc_opt_state = disc_opt.init(disc_params) if disc is not None else None

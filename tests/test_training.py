@@ -340,3 +340,71 @@ def test_train_loop_mesh_sharding_applied(tables):
     # the state is actually distributed: each shard holds 1/4 of the leaf
     shard = qkv.addressable_shards[0].data
     assert shard.shape == (qkv.shape[0] // 2, qkv.shape[1] // 2)
+
+
+def test_lpips_module_and_converter():
+    """Perceptual LPIPS (VERDICT r1 row 40): self-distance is zero, it
+    responds to perturbations, and the torch-layout converter produces the
+    exact flax tree."""
+    from rule_guided_music_tpu.training.perceptual import (
+        _VGG_BLOCKS,
+        LPIPS,
+        convert_torch_lpips,
+    )
+
+    lpips = LPIPS()
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 3, 64, 64)).astype(np.float32) * 0.3)
+    params = lpips.init(jax.random.PRNGKey(0), x, x)
+    d_self = lpips.apply(params, x, x)
+    np.testing.assert_allclose(np.asarray(d_self), 0.0, atol=1e-6)
+    d_pert = lpips.apply(params, x, x + 0.2)
+    assert float(jnp.abs(d_pert).sum()) > 0
+
+    # converter round trip from synthetic torch-layout state dicts
+    rng = np.random.default_rng(1)
+    vgg_sd, lins_sd = {}, {}
+    tv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    cin = 3
+    k = 0
+    for n_convs, ch in _VGG_BLOCKS:
+        for _ in range(n_convs):
+            i = tv_idx[k]
+            vgg_sd[f"{i}.weight"] = rng.normal(
+                size=(ch, cin, 3, 3)).astype(np.float32) * 0.02
+            vgg_sd[f"{i}.bias"] = np.zeros(ch, np.float32)
+            cin = ch
+            k += 1
+    for li, (_, ch) in enumerate(_VGG_BLOCKS):
+        lins_sd[f"lin{li}.model.1.weight"] = np.abs(rng.normal(
+            size=(1, ch, 1, 1))).astype(np.float32)
+    converted = jax.tree_util.tree_map(
+        jnp.asarray, convert_torch_lpips(vgg_sd, lins_sd))
+    out = lpips.apply(converted, x, x + 0.1)
+    assert out.shape == (2,)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_vae_train_step_with_perceptual_term():
+    from rule_guided_music_tpu.models import AutoencoderKL
+    from rule_guided_music_tpu.training.perceptual import LPIPS
+    from rule_guided_music_tpu.training.vae_train import (
+        VAETrainConfig,
+        make_vae_train_steps,
+    )
+
+    vae = AutoencoderKL(ch=8, ch_mult=(1, 2), num_res_blocks=1)
+    x = jnp.zeros((2, 3, 32, 32))
+    params = vae.init(jax.random.PRNGKey(0), x, rng=jax.random.PRNGKey(1))
+    lpips = LPIPS()
+    lp = lpips.init(jax.random.PRNGKey(2), x, x)
+    config = VAETrainConfig(lr=1e-4, perceptual_weight=0.5)
+    ae_opt, _, ae_step, _ = make_vae_train_steps(
+        vae, config, lpips=lpips, lpips_params=lp)
+    opt_state = ae_opt.init(params)
+    params, opt_state, aux = ae_step(
+        params, opt_state, None, x + 0.1, jax.random.PRNGKey(3),
+        jnp.int32(0),
+    )
+    assert np.isfinite(float(aux["aeloss"]))
+    assert float(aux["rec_loss"]) > 0
