@@ -241,3 +241,151 @@ def make_cond_ind_sr_eps_fn(
         return merged
 
     return long_eps
+
+
+# ---------------------------------------------------------------------------
+# Legacy EDM loss-guided worker zoo (diff_collage/w_loss.py:94-432)
+# ---------------------------------------------------------------------------
+# These pair with diffusion/edm.py's sigma-space Heun sampler: each wraps a
+# sigma-parameterized ``eps_fn(x, sigma, y)`` and corrects epsilon by the
+# gradient of a consistency loss on x̂0 = x - sigma*eps, with the reference's
+# closed-form "optimal" least-squares step weight
+# (argmin_w ||delta_pixel - w * delta_grad||², w_loss.py:111-125,179-190).
+
+
+def _optimal_weight(delta_pixel: jnp.ndarray, delta_grad: jnp.ndarray,
+                    eps: float = 1e-12) -> jnp.ndarray:
+    num = jnp.sum(delta_pixel * delta_grad)
+    den = jnp.sum(delta_grad * delta_grad)
+    return num / (den + eps)
+
+
+def make_seq_extend_eps_fn(
+    eps_fn: Callable,
+    src_img: jnp.ndarray,
+    overlap: int,
+    weight: float | str = "optimal",
+    ratio: float = 1.0,
+) -> Callable:
+    """SeqWorker (w_loss.py:94-125): continue a FIXED source excerpt.
+
+    The sampled window's head must match the source's tail:
+    loss = ||src[..., -ov:] - x̂0[..., :ov, :]||² over the latent-time axis;
+    epsilon is corrected by its gradient with the closed-form optimal (or a
+    fixed) weight.  ``src_img``: (B, C, T_src, P).
+    """
+    src_tail = src_img[:, :, -overlap:, :]
+
+    def guided_eps(x: jnp.ndarray, sigma: jnp.ndarray, y=None) -> jnp.ndarray:
+        sig_b = sigma.reshape((-1,) + (1,) * (x.ndim - 1))
+
+        def x0_of(x_in):
+            return x_in - sig_b * eps_fn(x_in, sigma, y)
+
+        def loss(x_in):
+            x0 = x0_of(x_in)
+            return jnp.sum((src_tail - x0[:, :, :overlap, :]) ** 2)
+
+        grad = jax.grad(loss)(x)
+        if weight == "optimal":
+            x0 = x0_of(x)
+            delta_pixel = x0[:, :, :overlap, :] - src_tail
+            w = _optimal_weight(delta_pixel, grad[:, :, :overlap, :]) * ratio
+        else:
+            w = jnp.asarray(weight, dtype=x.dtype)
+        # x0_cor = x0 - w*grad (w_loss.py:59)  <=>  eps + (w/sigma)*grad
+        return eps_fn(x, sigma, y) + w * grad / jnp.maximum(sig_b, 1e-8)
+
+    return guided_eps
+
+
+def seq_x0_replace(x0: jnp.ndarray, src_img: jnp.ndarray,
+                   overlap: int) -> jnp.ndarray:
+    """SeqWorker.x0_replace (w_loss.py:106-109): pin the head to the source
+    tail (hard replacement variant of the soft gradient correction)."""
+    return x0.at[:, :, :overlap, :].set(src_img[:, :, -overlap:, :])
+
+
+def make_circle_loss_eps_fn(
+    eps_fn: Callable,
+    overlap: int,
+    weight: float | str = "optimal",
+) -> Callable:
+    """CircleWorker (w_loss.py:127-190): the BATCH is a ring of windows —
+    window i's head must match window i-1's tail (roll along batch), so the
+    batch closes into one circular long score.
+    """
+
+    def match_patch(a: jnp.ndarray):
+        tail = jnp.roll(a[:, :, -overlap:, :], 1, axis=0)
+        head = a[:, :, :overlap, :]
+        return tail, head
+
+    def guided_eps(x: jnp.ndarray, sigma: jnp.ndarray, y=None) -> jnp.ndarray:
+        sig_b = sigma.reshape((-1,) + (1,) * (x.ndim - 1))
+
+        def x0_of(x_in):
+            return x_in - sig_b * eps_fn(x_in, sigma, y)
+
+        def loss(x_in):
+            tail, head = match_patch(x0_of(x_in))
+            return jnp.sum((tail - head) ** 2)
+
+        grad = jax.grad(loss)(x)
+        if weight == "optimal":
+            tail, head = match_patch(x0_of(x))
+            g_tail, g_head = match_patch(grad)
+            w = _optimal_weight(tail - head, g_tail - g_head)
+        else:
+            w = jnp.asarray(weight, dtype=x.dtype)
+        # x0_cor = x0 - w*grad (w_loss.py:59)  <=>  eps + (w/sigma)*grad
+        return eps_fn(x, sigma, y) + w * grad / jnp.maximum(sig_b, 1e-8)
+
+    return guided_eps
+
+
+def circle_merge_batch(x: jnp.ndarray, overlap: int) -> jnp.ndarray:
+    """CircleWorker.merge_circle_image (w_loss.py:155-163): fold a ring
+    batch (B windows) into one circular long image, averaging the seam."""
+    b = x.shape[0]
+    merged = merge_windows(x, overlap, b, is_avg=True)
+    head = (merged[:, :, :overlap, :] + merged[:, :, -overlap:, :]) / 2.0
+    return jnp.concatenate([head, merged[:, :, overlap:-overlap, :]], axis=2)
+
+
+def make_para_loss_eps_fn(
+    eps_fn: Callable,
+    overlap: int,
+    weight: float | str = "optimal",
+) -> Callable:
+    """ParaWorker (w_loss.py:226+): linear-chain variant of the batch-ring —
+    window i's head matches window i-1's tail with NO wraparound (the first
+    window is unconstrained), closing the batch into one linear long score.
+    """
+
+    def match_patch(a: jnp.ndarray):
+        tail = a[:-1, :, -overlap:, :]
+        head = a[1:, :, :overlap, :]
+        return tail, head
+
+    def guided_eps(x: jnp.ndarray, sigma: jnp.ndarray, y=None) -> jnp.ndarray:
+        sig_b = sigma.reshape((-1,) + (1,) * (x.ndim - 1))
+
+        def x0_of(x_in):
+            return x_in - sig_b * eps_fn(x_in, sigma, y)
+
+        def loss(x_in):
+            tail, head = match_patch(x0_of(x_in))
+            return jnp.sum((tail - head) ** 2)
+
+        grad = jax.grad(loss)(x)
+        if weight == "optimal":
+            tail, head = match_patch(x0_of(x))
+            g_tail, g_head = match_patch(grad)
+            w = _optimal_weight(tail - head, g_tail - g_head)
+        else:
+            w = jnp.asarray(weight, dtype=x.dtype)
+        # x0_cor = x0 - w*grad (w_loss.py:59)  <=>  eps + (w/sigma)*grad
+        return eps_fn(x, sigma, y) + w * grad / jnp.maximum(sig_b, 1e-8)
+
+    return guided_eps

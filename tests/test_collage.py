@@ -177,3 +177,86 @@ def test_cond_ind_sr_windows_low_res_conditioning():
     # low-res windows: base 128 -> low_base 32, overlap 64 -> low 16
     assert ((2, 1, 128, 4), (2, 1, 32, 4)) in seen["shapes"]
     assert ((2, 1, 64, 4), (2, 1, 16, 4)) in seen["shapes"]
+
+
+def _shrinkage_denoiser(alpha=0.5):
+    """Sigma-space model with x0(x) = alpha * x: x-dependent so consistency
+    gradients through x̂0 are non-degenerate (a constant-x̂0 oracle would
+    zero them out)."""
+
+    def eps_fn(x, sigma, y=None):
+        sig_b = sigma.reshape((-1,) + (1,) * (x.ndim - 1))
+        return (1.0 - alpha) * x / jnp.maximum(sig_b, 1e-8)
+
+    return eps_fn
+
+
+def test_seq_extend_worker_pulls_head_toward_source():
+    """SeqWorker parity (w_loss.py:94-125): the guided eps moves the
+    window's x0 head toward the source tail."""
+    from rule_guided_music_tpu.diffusion.collage import (
+        make_seq_extend_eps_fn,
+        seq_x0_replace,
+    )
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.normal(size=(2, 1, 16, 4)).astype(np.float32))
+    eps_fn = _shrinkage_denoiser()
+    guided = make_seq_extend_eps_fn(eps_fn, src, overlap=4)
+    x = jnp.asarray(rng.normal(size=(2, 1, 16, 4)).astype(np.float32))
+    sigma = jnp.full((2,), 1.5)
+    sig_b = sigma.reshape(-1, 1, 1, 1)
+    x0_plain = x - sig_b * eps_fn(x, sigma)
+    x0_guided = x - sig_b * guided(x, sigma)
+    d_plain = float(jnp.sum((x0_plain[:, :, :4] - src[:, :, -4:]) ** 2))
+    d_guided = float(jnp.sum((x0_guided[:, :, :4] - src[:, :, -4:]) ** 2))
+    assert d_guided < d_plain * 0.5, (d_guided, d_plain)
+    # the hard-replacement variant is exact
+    pinned = seq_x0_replace(x0_plain, src, overlap=4)
+    np.testing.assert_allclose(np.asarray(pinned[:, :, :4]),
+                               np.asarray(src[:, :, -4:]))
+
+
+@pytest.mark.parametrize("maker", ["circle", "para"])
+def test_ring_and_chain_workers_reduce_seam_mismatch(maker):
+    """Circle/ParaWorker parity (w_loss.py:127-432): the optimal-weight
+    gradient correction shrinks adjacent-window x0 disagreement."""
+    from rule_guided_music_tpu.diffusion.collage import (
+        make_circle_loss_eps_fn,
+        make_para_loss_eps_fn,
+    )
+
+    rng = np.random.default_rng(1)
+    eps_fn = _shrinkage_denoiser()
+    ov = 4
+    make = (make_circle_loss_eps_fn if maker == "circle"
+            else make_para_loss_eps_fn)
+    guided = make(eps_fn, overlap=ov)
+    x = jnp.asarray(rng.normal(size=(4, 1, 16, 4)).astype(np.float32))
+    sigma = jnp.full((4,), 2.0)
+    sig_b = sigma.reshape(-1, 1, 1, 1)
+
+    def seam(x0):
+        if maker == "circle":
+            tail = jnp.roll(x0[:, :, -ov:, :], 1, axis=0)
+            head = x0[:, :, :ov, :]
+        else:
+            tail = x0[:-1, :, -ov:, :]
+            head = x0[1:, :, :ov, :]
+        return float(jnp.sum((tail - head) ** 2))
+
+    x0_plain = x - sig_b * eps_fn(x, sigma)
+    x0_guided = x - sig_b * guided(x, sigma)
+    assert seam(x0_guided) < seam(x0_plain) * 0.8
+
+
+def test_circle_merge_batch_geometry():
+    from rule_guided_music_tpu.diffusion.collage import circle_merge_batch
+
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(4, 1, 16, 4)).astype(np.float32))
+    merged = circle_merge_batch(x, overlap=4)
+    # ring of 4 windows of 16 with overlap 4: linear merge is 4*16-3*4 = 52,
+    # the circular seam folds another overlap away -> 48
+    assert merged.shape == (1, 1, 48, 4)
+    assert bool(jnp.isfinite(merged).all())
