@@ -21,20 +21,29 @@ def make_rolls(n: int, length: int = 1024, seed: int = 0) -> np.ndarray:
     model's samples then differ in pitch content, which is exactly the
     signal SCG candidate selection needs (an i.i.d.-chords dataset would
     make every sample's histogram identical by law of large numbers and
-    leave guidance nothing to select on)."""
+    leave guidance nothing to select on).
+
+    Each roll also commits to a *density mode* (chord size 2-5, its own
+    note rate): vertical/horizontal note density varies per sample at a
+    scale that survives the f8 latent compression, giving nd-targeted SCG
+    a real selection signal (pitch-class identity is sub-latent-row at f8
+    and partly blurred by a small VAE, density is not)."""
     rng = np.random.default_rng(seed)
     rolls = np.full((n, 3, 128, length), -1.0, dtype=np.float32)
     for i in range(n):
         palette = rng.choice(SCALE, size=6, replace=False)
+        voices = int(rng.integers(2, 6))            # per-roll density mode
+        gap_lo = int(rng.integers(8, 16))
         t = 0
         while t < length - 16:
-            chord = rng.choice(palette, size=3, replace=False)
+            chord = rng.choice(palette, size=min(voices, len(palette)),
+                               replace=False)
             dur = int(rng.integers(12, 24))
             vel = rng.uniform(0.2, 0.6)
             for p in chord:
                 rolls[i, 0, p, t:t + dur] = vel
                 rolls[i, 1, p, t] = 1.0
-            t += int(rng.integers(12, 20))
+            t += int(rng.integers(gap_lo, gap_lo + 8))
     return rolls
 
 

@@ -40,7 +40,7 @@ def main():
     rolls = make_rolls(32)
 
     # --- tiny VAE ----------------------------------------------------------
-    vae = AutoencoderKL(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=1)
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1)
     chunks = rolls.reshape(32, 3, 128, 8, 128).transpose(0, 3, 1, 2, 4)
     chunks = chunks.reshape(-1, 3, 128, 128)  # (256, 3, 128, 128)
     vae_params = vae.init(
