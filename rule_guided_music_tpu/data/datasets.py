@@ -64,6 +64,17 @@ def _nearest_resize(x: np.ndarray, new_len: int) -> np.ndarray:
     return x[..., idx]
 
 
+def draw_stretch_params(
+    t_src: int, image_size: int, rng: np.random.Generator
+):
+    """Sample the ±5% stretch window (pr_len, start) — split out so the
+    native and numpy augmentation paths share identical draws."""
+    pr_len = int(rng.uniform(0.95, 1.05) * image_size)
+    pr_len = min(pr_len, t_src)
+    start = int(rng.integers(0, max(t_src - pr_len, 1)))
+    return pr_len, start
+
+
 def time_stretch(
     arr: np.ndarray, image_size: int, rng: np.random.Generator
 ) -> np.ndarray:
@@ -72,9 +83,13 @@ def time_stretch(
 
     arr: (3, 128, T) normalized [-1, 1]. Returns (3, 128, image_size).
     """
-    pr_len = int(rng.uniform(0.95, 1.05) * image_size)
-    pr_len = min(pr_len, arr.shape[-1])
-    start = rng.integers(0, max(arr.shape[-1] - pr_len, 1))
+    pr_len, start = draw_stretch_params(arr.shape[-1], image_size, rng)
+    return time_stretch_with_params(arr, image_size, pr_len, start)
+
+
+def time_stretch_with_params(
+    arr: np.ndarray, image_size: int, pr_len: int, start: int
+) -> np.ndarray:
     arr = arr[:, :, start:start + pr_len]
     if pr_len < image_size:
         # stretching: resize piano+pedal, re-place onsets w/o duplicates
@@ -127,18 +142,40 @@ class PianoRollDataset:
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng()
-        arr = np.load(self.paths[idx]).astype(np.float32) / NORM_SCALE - 1.0
+        raw = np.load(self.paths[idx])
+        # draw augmentation params up front (same rng call order as the
+        # numpy path) so the native one-pass kernel is draw-for-draw
+        # identical to the numpy fallback
         if self.time_stretch:
-            arr = time_stretch(arr, self.image_size, rng)
+            pr_len, start = draw_stretch_params(
+                raw.shape[-1], self.image_size, rng)
         else:
-            arr = arr[:, :, :self.image_size]
-        if arr.shape[-1] < self.image_size:
-            pad = self.image_size - arr.shape[-1]
-            arr = np.pad(arr, ((0, 0), (0, 0), (0, pad)), constant_values=-1.0)
-        if self.pitch_shift:
-            k = int(rng.integers(-6, 7))
-            arr = key_shift(arr, k)
-        arr = piano_like_np(arr)
+            pr_len, start = min(raw.shape[-1], self.image_size), 0
+        k = int(rng.integers(-6, 7)) if self.pitch_shift else 0
+
+        arr = None
+        if raw.dtype == np.uint8 and raw.ndim == 3 and raw.shape[0] == 3:
+            from ..native import augment_roll_native
+
+            arr = augment_roll_native(
+                raw, self.image_size, pr_len, start, k,
+                do_stretch=self.time_stretch,
+                min_pitch=MIN_PIANO, max_pitch=MAX_PIANO,
+            )
+        if arr is None:  # numpy fallback (also non-uint8/odd-shaped inputs)
+            arr = raw.astype(np.float32) / NORM_SCALE - 1.0
+            if self.time_stretch:
+                arr = time_stretch_with_params(
+                    arr, self.image_size, pr_len, start)
+            else:
+                arr = arr[:, :, :self.image_size]
+            if arr.shape[-1] < self.image_size:
+                pad = self.image_size - arr.shape[-1]
+                arr = np.pad(arr, ((0, 0), (0, 0), (0, pad)),
+                             constant_values=-1.0)
+            if self.pitch_shift and k:
+                arr = key_shift(arr, k)
+            arr = piano_like_np(arr)
 
         out = {}
         if self.rule is not None:

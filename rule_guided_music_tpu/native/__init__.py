@@ -5,4 +5,9 @@ source. Everything degrades gracefully to the pure-Python implementations
 when a toolchain isn't available.
 """
 
-from .codec import extract_notes_native, is_available, rasterize_notes_native
+from .codec import (
+    augment_roll_native,
+    extract_notes_native,
+    is_available,
+    rasterize_notes_native,
+)

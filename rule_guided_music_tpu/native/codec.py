@@ -43,6 +43,13 @@ def _load():
                 ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
                 ctypes.c_int,
             ]
+            lib.augment_roll.restype = None
+            lib.augment_roll.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+            ]
             lib.rasterize_notes.restype = None
             lib.rasterize_notes.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -135,3 +142,31 @@ def rasterize_notes_native(
         _fptr(piano), _fptr(onset),
     )
     return piano, onset
+
+
+def augment_roll_native(
+    src: np.ndarray,
+    image_size: int,
+    pr_len: int,
+    start: int,
+    k_shift: int,
+    do_stretch: bool,
+    min_pitch: int,
+    max_pitch: int,
+):
+    """Full per-item training augmentation in one native pass, or None if
+    the codec is unavailable. ``src``: (3, 128, T) uint8. Returns
+    (3, 128, image_size) float32 — exact semantics of the numpy path in
+    data/datasets.py (cross-tested)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    out = np.empty((3, 128, image_size), dtype=np.float32)
+    lib.augment_roll(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(src.shape[-1]), int(image_size), int(pr_len), int(start),
+        int(k_shift), int(bool(do_stretch)), int(min_pitch), int(max_pitch),
+        _fptr(out),
+    )
+    return out

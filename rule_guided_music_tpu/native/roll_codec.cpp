@@ -133,3 +133,107 @@ void rasterize_notes(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Full per-item training augmentation in one native pass — the host-side
+// data-loader hot path (data/datasets.py::PianoRollDataset.__getitem__):
+// normalize (v/63.5 - 1), crop [start, start+pr_len), onset-preserving
+// time-stretch/compress to image_size, circular pitch shift on channels
+// 0-1 (the reference's key_shift quirk: both signs of k shift the same
+// way — pr_datasets_all.py:99-102 — reproduced exactly), and the
+// piano-range clamp. Randomness (pr_len, start, k) stays in the Python
+// caller so numpy and native paths are cross-testable draw-for-draw.
+//
+// src: (3, 128, t_src) uint8 row-major; out: (3, 128, image_size) float32.
+void augment_roll(
+    const uint8_t* src,
+    int t_src,
+    int image_size,
+    int pr_len,
+    int start,
+    int k_shift,
+    int do_stretch,
+    int min_pitch,
+    int max_pitch,
+    float* out) {
+  const int P = 128;
+  // staging buffer: resized-but-unshifted (3, 128, image_size)
+  std::vector<float> buf((size_t)3 * P * image_size, -1.0f);
+  auto srow = [&](int ch, int p) {
+    return src + ((size_t)ch * P + p) * t_src;
+  };
+  auto brow = [&](int ch, int p) {
+    return buf.data() + ((size_t)ch * P + p) * image_size;
+  };
+
+  if (!do_stretch) {
+    // plain crop to the first image_size columns (+ background pad)
+    int ncopy = t_src < image_size ? t_src : image_size;
+    for (int ch = 0; ch < 3; ++ch)
+      for (int p = 0; p < P; ++p) {
+        const uint8_t* r = srow(ch, p);
+        float* o = brow(ch, p);
+        for (int i = 0; i < ncopy; ++i) o[i] = r[i] / 63.5f - 1.0f;
+      }
+  } else if (pr_len < image_size) {
+    // stretch: nearest-resize piano+pedal; re-place onsets without
+    // duplicates at the first output column of each source column
+    for (int p = 0; p < P; ++p) {
+      const uint8_t* rp = srow(0, p);
+      const uint8_t* ro = srow(1, p);
+      const uint8_t* rd = srow(2, p);
+      float* op = brow(0, p);
+      float* oo = brow(1, p);
+      float* od = brow(2, p);
+      int prev_j = -1;
+      for (int i = 0; i < image_size; ++i) {
+        int j = (int)((double)i / image_size * pr_len);
+        op[i] = rp[start + j] / 63.5f - 1.0f;
+        od[i] = rd[start + j] / 63.5f - 1.0f;
+        oo[i] = (j != prev_j) ? ro[start + j] / 63.5f - 1.0f : -1.0f;
+        prev_j = j;
+      }
+    }
+  } else {
+    // compress (or equal): nearest-resize everything, re-add onsets that
+    // got dropped wherever the piano velocity increases column-to-column
+    for (int p = 0; p < P; ++p) {
+      for (int ch = 0; ch < 3; ++ch) {
+        const uint8_t* r = srow(ch, p);
+        float* o = brow(ch, p);
+        for (int i = 0; i < image_size; ++i) {
+          int j = (int)((int64_t)i * pr_len / image_size);
+          o[i] = r[start + j] / 63.5f - 1.0f;
+        }
+      }
+      if (pr_len > image_size) {  // equal-length crop re-adds nothing
+        float* op = brow(0, p);
+        float* oo = brow(1, p);
+        float prev = op[0];
+        for (int i = 0; i < image_size; ++i) {
+          if (op[i] - prev > 0.0f) oo[i] = 1.0f;
+          prev = op[i];
+        }
+      }
+    }
+  }
+
+  // circular pitch shift on channels 0-1 (new[p] = buf[(p + |k|) % 128],
+  // matching concat([x[|k|:], x[:|k|]]) for either sign), then the
+  // piano-range clamp; pedal passes through (also clamped).
+  int shift = k_shift < 0 ? -k_shift : k_shift;
+  for (int ch = 0; ch < 3; ++ch) {
+    for (int p = 0; p < P; ++p) {
+      int src_p = (ch < 2) ? (p + shift) % P : p;
+      float* o = out + ((size_t)ch * P + p) * image_size;
+      if (p < min_pitch || p > max_pitch) {
+        for (int i = 0; i < image_size; ++i) o[i] = -1.0f;
+      } else {
+        std::memcpy(o, brow(ch, src_p), sizeof(float) * image_size);
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -118,3 +118,87 @@ def test_composer_clusters():
     assert cluster_for("Frédéric Chopin") == 3
     assert cluster_for("Igor Stravinsky") == 8
     assert cluster_for("Unknown Person") is None
+
+
+def test_native_augment_matches_numpy_exactly(tmp_path):
+    """The one-pass C++ augmentation kernel must be bit-identical to the
+    numpy path for every branch (stretch / compress / equal / plain crop)
+    and every pitch shift."""
+    from rule_guided_music_tpu.constants import MAX_PIANO, MIN_PIANO, NORM_SCALE
+    from rule_guided_music_tpu.data.datasets import (
+        key_shift,
+        piano_like_np,
+        time_stretch_with_params,
+    )
+    from rule_guided_music_tpu.native import augment_roll_native, is_available
+
+    if not is_available():
+        pytest.skip("native codec unavailable")
+
+    rng = np.random.default_rng(0)
+    raw = np.zeros((3, 128, 300), dtype=np.uint8)
+    for _ in range(60):
+        p = rng.integers(21, 109)
+        s = rng.integers(0, 280)
+        d = rng.integers(3, 30)
+        raw[0, p, s:s + d] = rng.integers(30, 120)
+        raw[1, p, s] = 127
+        raw[2, p, s:s + d] = rng.integers(0, 128)
+
+    image = 256
+    cases = [
+        (230, 12, 3, True),     # stretch (pr_len < image)
+        (290, 5, -4, True),     # compress (pr_len > image)
+        (256, 10, 6, True),     # equal
+        (256, 0, 0, False),     # plain crop, no shift
+        (140, 100, -6, True),   # strong stretch + max shift
+    ]
+    for pr_len, start, k, do_stretch in cases:
+        got = augment_roll_native(
+            raw, image, pr_len, start, k, do_stretch=do_stretch,
+            min_pitch=MIN_PIANO, max_pitch=MAX_PIANO,
+        )
+        arr = raw.astype(np.float32) / NORM_SCALE - 1.0
+        if do_stretch:
+            arr = time_stretch_with_params(arr, image, pr_len, start)
+        else:
+            arr = arr[:, :, :image]
+        if arr.shape[-1] < image:
+            arr = np.pad(arr, ((0, 0), (0, 0), (0, image - arr.shape[-1])),
+                         constant_values=-1.0)
+        if k:
+            arr = key_shift(arr, k)
+        want = piano_like_np(arr)
+        np.testing.assert_array_equal(
+            got, want.astype(np.float32),
+            err_msg=f"case pr_len={pr_len} start={start} k={k} "
+                    f"stretch={do_stretch}",
+        )
+
+
+def test_dataset_native_and_fallback_agree(tmp_path):
+    """PianoRollDataset must yield the same item whether the native kernel
+    or the numpy fallback runs (same rng draws)."""
+    from rule_guided_music_tpu.data.datasets import PianoRollDataset
+    from rule_guided_music_tpu.native import is_available
+
+    if not is_available():
+        pytest.skip("native codec unavailable")
+
+    rng = np.random.default_rng(1)
+    raw = np.zeros((3, 128, 400), dtype=np.uint8)
+    for _ in range(40):
+        p = rng.integers(30, 100)
+        s = rng.integers(0, 380)
+        raw[0, p, s:s + 10] = 80
+        raw[1, p, s] = 127
+    path_u8 = tmp_path / "u8.npy"
+    np.save(path_u8, raw)
+    path_f32 = tmp_path / "f32.npy"   # float input forces the numpy path
+    np.save(path_f32, raw.astype(np.float32))
+
+    ds_u8 = PianoRollDataset(paths=[str(path_u8)], image_size=256)
+    ds_f32 = PianoRollDataset(paths=[str(path_f32)], image_size=256)
+    a, _ = ds_u8.__getitem__(0, rng=np.random.default_rng(7))
+    b, _ = ds_f32.__getitem__(0, rng=np.random.default_rng(7))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
