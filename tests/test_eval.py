@@ -220,3 +220,44 @@ def test_remi_golden_fixture_events_and_chords():
     labels = recognize_chords(midi)
     assert labels == [("maj", 0), ("N", -1), ("min", 5)]
     assert chord_symbols(labels) == ["C:maj", "N", "F:min"]
+
+
+def test_fad_proxy_end_to_end(tmp_path):
+    """The in-env FAD proxy (additive synth + log-mel Fréchet): identical
+    sets score ~0; distributionally different sets score clearly higher."""
+    from rule_guided_music_tpu.eval.fad import (
+        compute_fad_proxy,
+        logmel_embedding,
+        synth_midi,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def write_set(prefix, base_pitch, n=6):
+        paths = []
+        for i in range(n):
+            notes = []
+            t = 0.0
+            for _ in range(12):
+                p = int(base_pitch + rng.integers(-4, 5))
+                notes.append(Note(velocity=90, pitch=p, start=t, end=t + 0.3))
+                t += 0.25
+            path = str(tmp_path / f"{prefix}{i}.midi")
+            write_midi(path, MidiData(notes=notes))
+            paths.append(path)
+        return paths
+
+    low = write_set("low", 48)
+    low2 = write_set("low2", 48)
+    high = write_set("high", 84)
+
+    same = compute_fad_proxy(low, low2)
+    diff = compute_fad_proxy(low, high)
+    assert np.isfinite(same) and np.isfinite(diff)
+    assert diff > same * 3, (same, diff)
+
+    # synth + embedding sanity: audio is bounded, embedding fixed-size
+    audio = synth_midi(MidiData(notes=[Note(90, 60, 0.0, 0.5)]))
+    assert np.abs(audio).max() <= 1.0 + 1e-6
+    emb = logmel_embedding(audio)
+    assert emb.shape == (128,)
