@@ -166,13 +166,16 @@ def gpipe_apply(
 
 def pipelined_dit_rotary_apply(
     model, params, x, t, y=None, *, mesh: Mesh, axis: str = "stage",
-    n_micro: Optional[int] = None,
+    n_micro: Optional[int] = None, schedule: str = "gpipe",
 ):
     """DiTRotary forward with its block stack pipelined over ``mesh[axis]``.
 
     Embedders / final layer run replicated (they are a negligible FLOP
-    fraction); the depth-L block stack runs under :func:`gpipe_apply`.
-    Numerically identical to ``model.apply`` (eval path, no label dropout).
+    fraction); the depth-L block stack runs under :func:`gpipe_apply`
+    (``schedule="gpipe"``) or the lower-bubble interleaved
+    :func:`circular_pipeline_apply` (``schedule="circular"``; batch must be
+    a multiple of the stage count). Numerically identical to
+    ``model.apply`` (eval path, no label dropout).
     """
     from ..models.dit import _as_hw
     from ..models.layers import (
@@ -213,10 +216,15 @@ def pipelined_dit_rotary_apply(
         return (xt, cc)
 
     stacked, _rest = stack_block_params(params, model.depth)
-    tokens, _ = gpipe_apply(
-        block_fn, stacked, (tokens, c), mesh=mesh, axis=axis,
-        n_micro=n_micro,
-    )
+    if schedule == "circular":
+        tokens, _ = circular_pipeline_apply(
+            block_fn, stacked, (tokens, c), mesh=mesh, axis=axis,
+        )
+    else:
+        tokens, _ = gpipe_apply(
+            block_fn, stacked, (tokens, c), mesh=mesh, axis=axis,
+            n_micro=n_micro,
+        )
 
     out = FinalLayer(
         model.hidden_size, model.patch_size * model.out_channels,
@@ -224,3 +232,125 @@ def pipelined_dit_rotary_apply(
     ).apply({"params": p["final_layer"]}, tokens, c)
     out = out.reshape(b, -1, w, model.out_channels)
     return jnp.transpose(out, (0, 3, 1, 2)).astype(jnp.float32)
+
+
+def circular_pipeline_apply(
+    block_fn: Callable[[Any, Any], Any],
+    stacked_params,
+    x,
+    *,
+    mesh: Mesh,
+    axis: str = "stage",
+):
+    """Interleaved ("circular" / looping) pipeline schedule.
+
+    Each stage holds ``v = L / S`` NON-contiguous block chunks (stage s owns
+    global chunks ``r*S + s`` for r in [0, v)); microbatches (fixed at
+    ``M = S``) make v passes around the stage ring, so every tick moves one
+    single-chunk unit of work. Against GPipe over the same L blocks this
+    cuts the schedule from ``(M + S - 1) * v`` chunk-ticks to
+    ``S*v + S - 1`` — at DiT-XL geometry (L=28 blocks, S=4 stages, v=7)
+    that is 49 -> 31 ticks, a 37% bubble-time reduction. Differentiable
+    (ring ppermute transposes to the reverse ring).
+    """
+    n_stages = mesh.shape[axis]
+    leaves = jax.tree_util.tree_leaves(stacked_params)
+    n_blocks = leaves[0].shape[0]
+    assert n_blocks % n_stages == 0, (n_blocks, n_stages)
+    v = n_blocks // n_stages
+    batch = jax.tree_util.tree_leaves(x)[0].shape[0]
+    n_micro = n_stages                      # the circular schedule invariant
+    assert batch % n_micro == 0, (batch, n_micro)
+    mb = batch // n_micro
+
+    x_mb = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_micro, mb) + a.shape[1:]), x
+    )
+    # chunk-major restack: leading axis (v, S) so index [r] under a
+    # stage-sharded [S] view selects stage s's r-th chunk == global r*S + s
+    restacked = jax.tree_util.tree_map(
+        lambda a: a.reshape((v, n_stages) + a.shape[1:])
+                   .swapaxes(0, 1)
+                   .reshape((n_stages * v,) + a.shape[1:]),
+        stacked_params,
+    )
+    restacked = jax.device_put(restacked, NamedSharding(mesh, P(axis)))
+
+    def worker(stacked_local, x_all):
+        # stacked_local: (v, ...) — this stage's chunks, round-major
+        s = jax.lax.axis_index(axis)
+        is_last = s == n_stages - 1
+        total_ticks = v * n_stages + n_stages - 1
+
+        carry0 = jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape[1:], a.dtype), x_all
+        )
+        out0 = jax.tree_util.tree_map(jnp.zeros_like, x_all)
+
+        def tick(state, t):
+            carry, out_buf = state
+            # microbatch age at this stage: entered at tick t - s
+            age = t - s
+            r = jnp.clip(age // n_stages, 0, v - 1)      # round = chunk idx
+            # stage 0 injects fresh microbatches during round 0 only
+            inject = jax.tree_util.tree_map(
+                lambda a: a[jnp.clip(t, 0, n_micro - 1)], x_all
+            )
+            take_inject = (s == 0) & (t < n_micro)
+            cur = jax.tree_util.tree_map(
+                lambda i, c: jnp.where(take_inject, i, c), inject, carry
+            )
+            chunk = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, r, 0,
+                                                       keepdims=False),
+                stacked_local,
+            )
+            y = block_fn(chunk, cur)
+            # the last stage in the last round emits microbatch
+            # m = t - (S-1) - (v-1)*S
+            idx = t - (n_stages - 1) - (v - 1) * n_stages
+            valid = (idx >= 0) & (idx < n_micro) & is_last
+            idxc = jnp.clip(idx, 0, n_micro - 1)
+            out_buf = jax.tree_util.tree_map(
+                lambda ob, yy: jax.lax.dynamic_update_index_in_dim(
+                    ob,
+                    jnp.where(
+                        valid, yy,
+                        jax.lax.dynamic_index_in_dim(ob, idxc, 0,
+                                                     keepdims=False),
+                    ),
+                    idxc, 0,
+                ),
+                out_buf, y,
+            )
+            # full ring: the last stage wraps carries back to stage 0
+            nxt = jax.tree_util.tree_map(
+                lambda a: jax.lax.ppermute(
+                    a, axis,
+                    [(i, (i + 1) % n_stages) for i in range(n_stages)],
+                ),
+                y,
+            )
+            return (nxt, out_buf), None
+
+        (_, out_buf), _ = jax.lax.scan(
+            tick, (carry0, out0), jnp.arange(total_ticks)
+        )
+        return jax.tree_util.tree_map(
+            lambda o: jax.lax.psum(
+                jnp.where(is_last, o, jnp.zeros_like(o)), axis
+            ),
+            out_buf,
+        )
+
+    spec_stacked = jax.tree_util.tree_map(lambda _: P(axis), restacked)
+    spec_x = jax.tree_util.tree_map(lambda _: P(), x_mb)
+    out = shard_map(
+        worker, mesh=mesh,
+        in_specs=(spec_stacked, spec_x),
+        out_specs=spec_x,
+        check_vma=False,
+    )(restacked, x_mb)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((batch,) + a.shape[2:]), out
+    )
