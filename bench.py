@@ -174,6 +174,9 @@ def build():
         variants["ddpm1000_light"] = make_sample_fn(
             tables=ddpm_tables, sampler_config=ddpm_config,
             scoring_vae_model=light, **common)
+        variants["ddim100_light"] = make_sample_fn(
+            tables=ddim_tables, sampler_config=ddim_config,
+            scoring_vae_model=light, **common)
         bundle["scoring_vae"] = light_params
         print(f"light scoring decoder loaded "
               f"(agreement={light_agreement:.3f})", flush=True)
@@ -216,12 +219,15 @@ def main():
                               "ddim100 (full chain)")
     ddim_per_min = BATCH * 60.0 / ddim_wall
 
-    # --- light scoring decoder variant -------------------------------------
-    light_per_min = None
+    # --- light scoring decoder variants ------------------------------------
+    light_per_min = ddim_light_per_min = None
     if "ddpm1000_light" in variants:
         light_wall = _time_variant(variants["ddpm1000_light"], bundle,
                                    rules, y, "ddpm1000+light-decoder")
         light_per_min = BATCH * 60.0 / (light_wall * scale)
+        ddim_light_wall = _time_variant(variants["ddim100_light"], bundle,
+                                        rules, y, "ddim100+light-decoder")
+        ddim_light_per_min = BATCH * 60.0 / ddim_light_wall
 
     # --- bare denoiser per-step latency ------------------------------------
     x = jnp.zeros((BATCH, 4, 128, 16))
@@ -263,7 +269,8 @@ def main():
               f"(vs_ddim100_baseline={ddim_per_min / ref_ddim_per_min:.2f})")
     if light_per_min is not None:
         extras += (f", light_decoder={light_per_min:.3f}/min "
-                   f"(selection_agreement={light_agreement:.3f})")
+                   f"(selection_agreement={light_agreement:.3f}), "
+                   f"ddim100_light={ddim_light_per_min:.3f}/min")
 
     print(
         json.dumps(
