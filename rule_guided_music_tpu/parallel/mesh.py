@@ -119,3 +119,23 @@ def shard_params(params, mesh: Mesh, spec_fn=dit_param_spec):
         return NamedSharding(mesh, P(*parts))
 
     return jax.tree_util.tree_map_with_path(one, params)
+
+
+def maybe_init_distributed():
+    """Initialize the JAX multi-host runtime when launched as a pod job.
+
+    The reference launches with mpiexec + NCCL (dist_util.py:21-53); on TPU
+    pods the equivalent is ``jax.distributed.initialize()`` before first
+    jax use — auto-detecting coordinator/topology from the pod metadata.
+    Opt-in via ``RGM_MULTIHOST=1`` so single-host runs (the common case in
+    this environment) never touch the coordinator path. Call it at the top
+    of every training/sampling entry point; after it, ``jax.devices()``
+    spans the slice and the Mesh/GSPMD code in this module works unchanged
+    (each host feeds its ``jax.process_index()`` data shard).
+    """
+    import os as _os
+
+    if _os.environ.get("RGM_MULTIHOST", "0") not in ("", "0"):
+        import jax as _jax
+
+        _jax.distributed.initialize()

@@ -28,6 +28,9 @@ from rule_guided_music_tpu.utils import logger
 
 
 def main():
+    from rule_guided_music_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()   # RGM_MULTIHOST=1 on pod slices
     args = create_argparser().parse_args()
     logger.configure(args=args)
 
