@@ -108,6 +108,7 @@ def sampler_config_from_yaml(
     *,
     learn_sigma: bool = False,
     record: bool = False,
+    record_states: bool = False,
     rule_names=(),
 ) -> SamplerConfig:
     """Translate a reference guidance YAML tree into a SamplerConfig."""
@@ -172,5 +173,6 @@ def sampler_config_from_yaml(
         scg=scg,
         edit=edit,
         record=record,
-        record_states=record,
+        # opt-in separately: the state stack costs steps x B x C x H x W
+        record_states=record and record_states,
     )

@@ -186,7 +186,12 @@ class PianoRollDataset:
 
             x = jnp.asarray(arr)[None]
             if "chord" in self.rule:
-                tags, key_idx, _ = chord_mod.get_chords(x, return_key=True)
+                # time resolution must match the rule variant: pixel rolls
+                # run at fs=12.5 (16-col windows, registry.py), latent-path
+                # rolls at fs=100 (128-col windows)
+                fs = 12.5 if "pixel" in self.rule else 100
+                tags, key_idx, _ = chord_mod.get_chords(
+                    x, fs=fs, return_key=True)
                 out["chord"] = np.asarray(tags)[0]
                 out["key"] = np.asarray(key_idx)[0].astype(np.int64)
             else:

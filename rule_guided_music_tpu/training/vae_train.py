@@ -69,21 +69,22 @@ def make_vae_train_steps(
     config: VAETrainConfig,
     disc: Optional[NLayerDiscriminator] = None,
     lpips=None,
-    lpips_params=None,
 ):
     """Build jitted (ae_step, disc_step). Each takes/returns explicit state
     trees; the discriminator step is a no-op closure when disc_weight == 0.
-    ``lpips``/``lpips_params``: frozen perceptual module (training/
-    perceptual.py) added to the reconstruction term when
-    ``perceptual_weight > 0`` (contperceptual.py:42-46 semantics)."""
+    ``lpips``: frozen perceptual module (training/perceptual.py) added to
+    the reconstruction term when ``perceptual_weight > 0``
+    (contperceptual.py:42-46 semantics); its params are the ``lpips_p``
+    argument of ``ae_step`` — threaded per call, never closed over
+    (CLAUDE.md remote-compile rule)."""
     ae_opt = optax.adam(config.lr, b1=config.betas[0], b2=config.betas[1])
     disc_opt = optax.adam(config.lr, b1=config.betas[0], b2=config.betas[1])
 
-    def ae_loss_fn(params, disc_params, batch, rng, step):
+    def ae_loss_fn(params, disc_params, batch, rng, step, lpips_p):
         recon, posterior = vae.apply(params, batch, rng=rng)
         rec_loss = jnp.abs(batch - recon).mean()
         if lpips is not None and config.perceptual_weight > 0:
-            p_loss = lpips.apply(lpips_params, batch, recon).mean()
+            p_loss = lpips.apply(lpips_p, batch, recon).mean()
             rec_loss = rec_loss + config.perceptual_weight * p_loss
         kl_loss = posterior.kl().mean() / jnp.prod(
             jnp.asarray(batch.shape[1:], jnp.float32)
@@ -98,9 +99,13 @@ def make_vae_train_steps(
         return loss, {"rec_loss": rec_loss, "kl_loss": kl_loss,
                       "g_loss": g_loss}
 
-    def ae_step(params, opt_state, disc_params, batch, rng, step):
+    # lpips weights (~59 MB VGG16) are threaded as a jit argument, never
+    # closed over (CLAUDE.md: closed-over arrays become HLO constants and
+    # choke the remote compiler)
+    def ae_step(params, opt_state, disc_params, batch, rng, step,
+                lpips_p=None):
         (loss, aux), grads = jax.value_and_grad(ae_loss_fn, has_aux=True)(
-            params, disc_params, batch, rng, step
+            params, disc_params, batch, rng, step, lpips_p
         )
         updates, opt_state = ae_opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -45,8 +45,12 @@ def main():
     parser.add_argument("--steps", type=int, default=400)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--lr", type=float, default=2e-3)
-    parser.add_argument("--latent_std", type=float, default=1.0,
-                        help="std of the (unscaled) latent sampling dist")
+    # deployment feeds the scoring decoder x0 / scale_factor
+    # (make_decode_fn divides before decode), so the operating input std is
+    # ~1/1.2465 — distill and measure agreement there by default
+    parser.add_argument("--latent_std", type=float, default=1.0 / 1.2465,
+                        help="std of the decoder-input latent dist "
+                             "(default 1/scale_factor = deployment point)")
     parser.add_argument("--agree_groups", type=int, default=32,
                         help="(B,k) groups for selection-agreement eval")
     parser.add_argument("--k", type=int, default=16)

@@ -91,6 +91,10 @@ def main():
         os.path.normpath(args.generated_dir))
     out_dir = os.path.dirname(args.out) or "."
     os.makedirs(out_dir, exist_ok=True)
+    if os.path.basename(args.out) not in ("", "quality"):
+        print(f"note: multi-run mode names files <dataset>.<method>.*.csv "
+              f"(eval_uncond.py layout); the --out basename "
+              f"{os.path.basename(args.out)!r} only selects the directory")
     for tag, df in [("mean", mean), ("std", std)]:
         path = os.path.join(out_dir, f"{dataset}.{method}.{tag}.csv")
         df.to_csv(path, index=False)

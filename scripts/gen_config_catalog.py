@@ -318,9 +318,7 @@ for rule, (clsr, rules) in _PX.items():
 for rule, (clsr, rules) in _PX.items():
     for suffix, step in [("", 1.0), ("_step_0_1", 0.1)]:
         if rule == "chord" and suffix:
-            continue
-        if rule == "nd" and suffix:
-            pass  # nd_step_0_1 exists upstream
+            continue  # upstream ships no chord _step variant
         FILES[f"cond_table/abla/latent/dps_nn/{rule}{suffix}.yml"] = doc(
             target_rules(rules),
             guidance(vae=False, nn=True, scg=False, method="dps",

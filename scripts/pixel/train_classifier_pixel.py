@@ -23,6 +23,7 @@ from rule_guided_music_tpu.data.datasets import load_data
 from rule_guided_music_tpu.diffusion import gaussian as gd
 from rule_guided_music_tpu.diffusion.schedule import make_schedule
 from rule_guided_music_tpu.models import DiT_models
+from rule_guided_music_tpu.pipeline import _init_on_host
 from rule_guided_music_tpu.utils import logger
 
 
@@ -42,7 +43,7 @@ def main():
     )
     x = jnp.zeros((1, args.in_channels, *args.image_size))
     t = jnp.zeros((1,))
-    params = model.init(jax.random.PRNGKey(args.seed), x, t)
+    params = _init_on_host(model.init, jax.random.PRNGKey(args.seed), x, t)
 
     tables = make_schedule(args.noise_schedule, args.diffusion_steps).tables()
     data = load_data(

@@ -149,6 +149,7 @@ def main():
 
     sampler_config = sampler_config_from_yaml(
         config, learn_sigma=args.learn_sigma, record=args.record,
+        record_states=args.record_states,
         rule_names=list(rules.keys()),
     )
 
@@ -277,6 +278,7 @@ def create_argparser():
         w=4.0,
         classifier_scale=1.0,
         record=False,
+        record_states=False,
         save_files=True,
         deterministic=False,
         seed=0,

@@ -98,14 +98,15 @@ def main():
             logger.log("WARNING: perceptual term with random LPIPS weights "
                        "(pass --lpips_vgg_path/--lpips_lins_path)")
             x0 = jnp.zeros((1, 3, 128, 128))
-            lpips_params = lpips.init(_jax.random.PRNGKey(7), x0, x0)
+            lpips_params = _init_on_host(
+                lpips.init, _jax.random.PRNGKey(7), x0, x0)
     disc_params = (
         _init_on_host(disc.init, jax.random.PRNGKey(7),
                       jnp.zeros((1, 3, 128, 128)))
         if disc is not None else None
     )
     ae_opt, disc_opt, ae_step, disc_step = make_vae_train_steps(
-        vae, config, disc, lpips=lpips, lpips_params=lpips_params
+        vae, config, disc, lpips=lpips
     )
     opt_state = ae_opt.init(params)
     disc_opt_state = disc_opt.init(disc_params) if disc is not None else None
@@ -116,7 +117,8 @@ def main():
         batch = next(data)
         rng, sub = jax.random.split(rng)
         params, opt_state, aux = ae_step(
-            params, opt_state, disc_params, batch, sub, jnp.int32(step)
+            params, opt_state, disc_params, batch, sub, jnp.int32(step),
+            lpips_params,
         )
         if disc_step is not None and step >= config.disc_start:
             rng, sub = jax.random.split(rng)

@@ -202,3 +202,30 @@ def test_dataset_native_and_fallback_agree(tmp_path):
     a, _ = ds_u8.__getitem__(0, rng=np.random.default_rng(7))
     b, _ = ds_f32.__getitem__(0, rng=np.random.default_rng(7))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pixel_chord_rule_labels_use_pixel_resolution(tmp_path):
+    """chord_progression_pixel labels must be computed at fs=12.5 (16-col
+    windows -> 8 tags on a 128-col roll), not the latent path's fs=100
+    (which would yield a single whole-roll tag)."""
+    from rule_guided_music_tpu.data.datasets import PianoRollDataset
+
+    raw = np.zeros((3, 128, 128), dtype=np.uint8)
+    for w in range(8):
+        for p in (60, 64, 67):
+            raw[0, p, w * 16:(w + 1) * 16] = 80
+            raw[1, p, w * 16] = 127
+    path = tmp_path / "roll.npy"
+    np.save(path, raw)
+
+    ds = PianoRollDataset(paths=[str(path)], image_size=128,
+                          rule="chord_progression_pixel",
+                          pitch_shift=False, time_stretch=False)
+    _, labels = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert labels["chord"].shape == (8,), labels["chord"].shape
+
+    ds_latent = PianoRollDataset(paths=[str(path)], image_size=128,
+                                 rule="chord_progression",
+                                 pitch_shift=False, time_stretch=False)
+    _, labels_l = ds_latent.__getitem__(0, rng=np.random.default_rng(0))
+    assert labels_l["chord"].shape == (1,), labels_l["chord"].shape

@@ -399,12 +399,11 @@ def test_vae_train_step_with_perceptual_term():
     lpips = LPIPS()
     lp = lpips.init(jax.random.PRNGKey(2), x, x)
     config = VAETrainConfig(lr=1e-4, perceptual_weight=0.5)
-    ae_opt, _, ae_step, _ = make_vae_train_steps(
-        vae, config, lpips=lpips, lpips_params=lp)
+    ae_opt, _, ae_step, _ = make_vae_train_steps(vae, config, lpips=lpips)
     opt_state = ae_opt.init(params)
     params, opt_state, aux = ae_step(
         params, opt_state, None, x + 0.1, jax.random.PRNGKey(3),
-        jnp.int32(0),
+        jnp.int32(0), lp,
     )
     assert np.isfinite(float(aux["aeloss"]))
     assert float(aux["rec_loss"]) > 0
