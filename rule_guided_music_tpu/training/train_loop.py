@@ -86,6 +86,7 @@ class TrainConfig:
     keep_checkpoints: int = 0      # retain only the newest K step_* dirs (0 = all)
     eval_interval: int = -1
     profile_step: int = -1         # jax.profiler-trace this one step (-1 = off)
+    skip_nan_steps: bool = True    # drop updates with non-finite grads
     mean_type: gd.ModelMeanType = gd.ModelMeanType.EPSILON
     var_type: gd.ModelVarType = gd.ModelVarType.FIXED_LARGE
     loss_type: gd.LossType = gd.LossType.MSE
@@ -168,13 +169,32 @@ def make_train_step(
                 params, latents, t, weights, y, rng
             )
 
+        # bf16 needs no loss scaling, but a non-finite batch (bad data, a
+        # numerics bug) must not poison the params — mirror the reference's
+        # overflow behavior of skipping the step (fp16_util.py:193-197)
+        grad_norm = optax.global_norm(grads)
+        if config.skip_nan_steps:
+            ok = jnp.isfinite(grad_norm)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+            )
+        else:
+            ok = jnp.bool_(True)
         updates, opt_state = optimizer.update(
             grads, state_tree["opt_state"], params
         )
-        params = optax.apply_updates(params, updates)
+        # on a skipped step the optimizer state must not advance either
+        opt_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o),
+            opt_state, state_tree["opt_state"],
+        )
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree_util.tree_map(
+            lambda n, p: jnp.where(ok, n, p), new_params, params
+        )
         rate = config.ema_rate
         ema_params = jax.tree_util.tree_map(
-            lambda e, p: e * rate + p * (1 - rate),
+            lambda e, p: jnp.where(ok, e * rate + p * (1 - rate), e),
             state_tree["ema_params"], params,
         )
         new_state = {
@@ -185,8 +205,9 @@ def make_train_step(
         }
         metrics = {
             "loss": loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
             "param_norm": optax.global_norm(params),
+            "skipped": (~ok).astype(jnp.float32),
             "per_example_loss": terms["loss"],
             "per_example_mse": terms.get("mse", terms["loss"]),
         }

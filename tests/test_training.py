@@ -407,3 +407,42 @@ def test_vae_train_step_with_perceptual_term():
     )
     assert np.isfinite(float(aux["aeloss"]))
     assert float(aux["rec_loss"]) > 0
+
+
+def test_nan_step_is_skipped(tables):
+    """A batch that produces non-finite grads must leave params, EMA, and
+    optimizer state untouched (reference fp16 overflow-skip semantics,
+    fp16_util.py:193-197) and flag metrics['skipped']."""
+    model = _tiny_model()
+    x = jnp.zeros((4, 1, 4, 4))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((4,)))
+    config = TrainConfig(lr=1e-2, ema_rate=0.9)
+    optimizer = make_optimizer(config)
+
+    def model_apply(p, xx, tt, y, rng):
+        return model.apply(p, xx, tt, y)
+
+    step_fn = jax.jit(make_train_step(model_apply, tables, optimizer, config))
+    state = {
+        "params": params,
+        "ema_params": jax.tree_util.tree_map(jnp.copy, params),
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    bad = jnp.full((4, 1, 4, 4), jnp.nan)
+    t = jnp.zeros((4,), jnp.int32) + 3
+    before = jax.device_get(state["params"])
+    state, metrics = step_fn(state, bad, t, jnp.ones((4,)), None,
+                             jax.random.PRNGKey(1))
+    assert float(metrics["skipped"]) == 1.0
+    after = jax.device_get(state["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert int(state["step"]) == 1  # the step counter still advances
+
+    # a good batch afterwards trains normally
+    state, metrics = step_fn(state, jnp.zeros_like(bad), t, jnp.ones((4,)),
+                             None, jax.random.PRNGKey(2))
+    assert float(metrics["skipped"]) == 0.0
+    assert np.isfinite(float(metrics["loss"]))
