@@ -38,7 +38,9 @@ Known divergence classes vs the music21 oracle (piano_roll_to_chord.py):
   2. Seventh/extended chords: music21's Roman numerals spell sevenths and
      inversions (e.g. "V65"); the letter collapse hides most of this, but a
      dominant-seventh chroma can template-match the vii° triad (shared
-     tritone) and tag 7 instead of 5.
+     tritone) and tag 7 instead of 5. Mitigation: opt-in seventh templates
+     (``get_chords(templates="sevenths")``, golden-tested) keep the root on
+     the dominant; off by default to preserve the triad tag contract.
   3. Key spelling: enharmonic keys are reported with music21's conventional
      spellings via the fixed _MAJOR/_MINOR_PC2KEY tables; music21's weighted
      key certainty can pick a relative/dominant key on short or modally
@@ -111,8 +113,34 @@ def _build_triad_templates() -> np.ndarray:
     return templates
 
 
+def _build_seventh_templates() -> np.ndarray:
+    """(48, 12) seventh chords by root: [dom7, min7, maj7, half-dim7].
+
+    Opt-in extension (``get_chords(templates="sevenths")``) addressing
+    divergence class 2 vs music21: a dominant-seventh chroma matched
+    against triads alone can land on the vii-degree diminished triad
+    (shared tritone) and tag 7 instead of 5; a dom7 template wins that
+    tie and keeps the root on the dominant.
+    """
+    qualities = [
+        (4, 7, 10),   # dominant 7
+        (3, 7, 10),   # minor 7
+        (4, 7, 11),   # major 7
+        (3, 6, 10),   # half-diminished 7
+    ]
+    templates = np.zeros((48, 12))
+    for qi, ivs in enumerate(qualities):
+        for root in range(12):
+            row = qi * 12 + root
+            templates[row, root] = 1.0
+            for iv in ivs:
+                templates[row, (root + iv) % 12] = 1.0
+    return templates
+
+
 _KEY_PROFILES = _build_key_profiles()
 _TRIADS = _build_triad_templates()
+_SEVENTHS = _build_seventh_templates()
 # Key index per profile row, degree tables laid out for gather.
 _PROFILE_KEYIDX = np.array(_MAJOR_PC2KEY + _MINOR_PC2KEY)
 
@@ -168,6 +196,7 @@ def get_chords(
     fs: int = 100,
     window_size: float = 1.28,
     return_key: bool = False,
+    templates: str = "triads",
 ):
     """Roman-numeral chord tags per `window_size` window.
 
@@ -177,6 +206,10 @@ def get_chords(
 
     ``given_key``: optional (tonic_pc + 12*is_minor) int or (B,) array to
     skip key detection (reference's ``given_key`` string argument).
+    ``templates``: "triads" (reference tag contract) or "sevenths"
+    (adds dom7/min7/maj7/half-dim templates — closer to music21's
+    chordify output on seventh-heavy material; changes tag semantics, so
+    targets and candidates must use the same setting).
     """
     window_cols = int(round(window_size * fs))
     active = _active_notes(piano_roll)                       # (B,128,L)
@@ -197,8 +230,12 @@ def get_chords(
     ).sum(axis=-1)                                           # (B,12,W)
     chroma_w = jnp.swapaxes(chroma_w, 1, 2)                  # (B,W,12)
 
-    # Triad template match: normalize both, dot product.
-    triads = jnp.asarray(_TRIADS)                            # (36,12)
+    # Chord template match: normalize both, dot product.
+    if templates == "sevenths":
+        table = np.concatenate([_TRIADS, _SEVENTHS], axis=0)  # (84,12)
+    else:
+        table = _TRIADS                                       # (36,12)
+    triads = jnp.asarray(table)
     triads_n = triads / jnp.linalg.norm(triads, axis=-1, keepdims=True)
     cn = chroma_w / (jnp.linalg.norm(chroma_w, axis=-1, keepdims=True) + 1e-12)
     scores = jnp.einsum("bwc,tc->bwt", cn, triads_n)         # (B,W,36)

@@ -177,3 +177,36 @@ def test_octave_invariance():
     t_hi, k_hi, _ = get_chords(hi, return_key=True)
     assert int(k_lo[0]) == int(k_hi[0]) == KEY_DICT["C major"]
     np.testing.assert_array_equal(np.asarray(t_lo), np.asarray(t_hi))
+
+
+def test_seventh_templates_fix_dominant_seventh_tagging():
+    """Divergence class 2 made testable: a dominant seventh (G7 in C) can
+    fool triad-only matching toward the vii-degree diminished triad (shared
+    tritone); the opt-in seventh templates keep the root on the dominant
+    -> degree 5, matching music21's letter collapse of 'V7'."""
+    c = 60
+    g7 = [c + 7, c + 11, c + 14, c + 17]   # G B D F
+    windows = [
+        major_triad(c, 0),
+        major_triad(c, 5),
+        g7,
+        major_triad(c, 0),
+    ]
+    roll = make_roll(windows)
+    tags7 = get_chords(roll, templates="sevenths")
+    np.testing.assert_array_equal(np.asarray(tags7[0]), [1, 4, 5, 1])
+    # both settings agree on plain triad progressions
+    plain = make_roll(major_progression(60))
+    np.testing.assert_array_equal(
+        np.asarray(get_chords(plain)),
+        np.asarray(get_chords(plain, templates="sevenths")),
+    )
+
+
+def test_seventh_templates_minor_seventh_root():
+    """ii7 in C (D F A C) must tag degree 2 under seventh templates."""
+    c = 60
+    ii7 = [c + 2, c + 5, c + 9, c + 12]
+    windows = [major_triad(c, 0), ii7, major_triad(c, 7), major_triad(c, 0)]
+    tags = get_chords(make_roll(windows), templates="sevenths")
+    assert int(tags[0, 1]) == 2, np.asarray(tags[0])
