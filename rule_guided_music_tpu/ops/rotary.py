@@ -45,7 +45,10 @@ def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
 
 def apply_rotary(x: jnp.ndarray, table: RotaryTable) -> jnp.ndarray:
     """Apply rotary embedding to x shaped (..., N, D) with D >= rot_dim."""
-    rot_dim = table.rot_dim
+    # derive from the (always-static) table shape, NOT table.rot_dim: under
+    # lifted transforms (nn.remat) scalar pytree leaves become tracers and
+    # cannot drive slicing
+    rot_dim = table.cos.shape[-1]
     n = x.shape[-2]
     cos = table.cos[:n].astype(x.dtype)
     sin = table.sin[:n].astype(x.dtype)

@@ -45,6 +45,7 @@ def main():
         learn_sigma=args.learn_sigma,
         class_dropout_prob=args.class_dropout_prob,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        remat=args.remat,
     )
     x = jnp.zeros((1, args.in_channels, *args.image_size))
     t = jnp.zeros((1,))
@@ -185,6 +186,7 @@ def create_argparser():
         seed=0,
         max_steps=-1,
         profile_step=-1,
+        remat=False,
     )
     defaults.update(diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -239,3 +239,29 @@ def test_vae_fused_gn_param_tree_and_equivalence():
         out_fused = vae_fused.apply(params, z, method=AutoencoderKL.decode)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_dit_rotary_remat_matches_plain():
+    """remat=True must change nothing but memory: same param tree, same
+    forward, same gradients (jax.checkpoint per block)."""
+    from rule_guided_music_tpu.models import DiT_models
+
+    m0 = DiT_models["DiTRotary_XS_8"](
+        input_size=(32, 16), in_channels=4, num_classes=3, learn_sigma=False)
+    m1 = DiT_models["DiTRotary_XS_8"](
+        input_size=(32, 16), in_channels=4, num_classes=3, learn_sigma=False,
+        remat=True)
+    x = jnp.full((2, 4, 32, 16), 0.1)
+    t = jnp.full((2,), 3.0)
+    y = jnp.zeros((2,), jnp.int32)
+    p = m0.init(jax.random.PRNGKey(0), x, t, y)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(m1.init(jax.random.PRNGKey(0),
+                                                    x, t, y)))
+    np.testing.assert_allclose(np.asarray(m0.apply(p, x, t, y)),
+                               np.asarray(m1.apply(p, x, t, y)), atol=1e-6)
+    g0 = jax.grad(lambda q: jnp.sum(m0.apply(q, x, t, y) ** 2))(p)
+    g1 = jax.grad(lambda q: jnp.sum(m1.apply(q, x, t, y) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
