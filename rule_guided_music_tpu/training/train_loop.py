@@ -74,6 +74,9 @@ def get_kl_input(
 @dataclass
 class TrainConfig:
     lr: float = 1e-4
+    optimizer: str = "adamw"       # adamw | adafactor (factored 2nd moments:
+                                   # ~0 optimizer HBM vs adam's 2x params —
+                                   # what makes single-chip XL training fit)
     weight_decay: float = 0.0
     lr_anneal_steps: int = 0
     ema_rate: float = 0.9999
@@ -87,13 +90,16 @@ class TrainConfig:
     eval_interval: int = -1
     profile_step: int = -1         # jax.profiler-trace this one step (-1 = off)
     skip_nan_steps: bool = True    # drop updates with non-finite grads
+    ema_dtype: str = "float32"     # bfloat16 halves the EMA copy's HBM
     mean_type: gd.ModelMeanType = gd.ModelMeanType.EPSILON
     var_type: gd.ModelVarType = gd.ModelVarType.FIXED_LARGE
     loss_type: gd.LossType = gd.LossType.MSE
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
-    """AdamW with the reference's linear LR anneal (train_util.py:365-371)."""
+    """AdamW (reference parity, train_util.py:365-371) or adafactor (the
+    low-memory option that fits XL training on one 16 GB chip), both with
+    the reference's linear LR anneal."""
     if config.lr_anneal_steps:
         schedule = optax.linear_schedule(
             init_value=config.lr, end_value=0.0,
@@ -101,6 +107,12 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
         )
     else:
         schedule = config.lr
+    opt = getattr(config, "optimizer", "adamw")
+    if opt == "adafactor":
+        return optax.adafactor(
+            learning_rate=schedule,
+            weight_decay_rate=(config.weight_decay or None),
+        )
     return optax.adamw(schedule, weight_decay=config.weight_decay)
 
 
@@ -193,8 +205,13 @@ def make_train_step(
             lambda n, p: jnp.where(ok, n, p), new_params, params
         )
         rate = config.ema_rate
+        ema_dtype = jnp.dtype(getattr(config, "ema_dtype", "float32"))
         ema_params = jax.tree_util.tree_map(
-            lambda e, p: jnp.where(ok, e * rate + p * (1 - rate), e),
+            lambda e, p: jnp.where(
+                ok, (e.astype(jnp.float32) * rate
+                     + p.astype(jnp.float32) * (1 - rate)).astype(ema_dtype),
+                e,
+            ),
             state_tree["ema_params"], params,
         )
         new_state = {
@@ -270,12 +287,18 @@ class TrainLoop:
         if mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated, shard_params
 
+            ema_dtype = jnp.dtype(getattr(config, "ema_dtype", "float32"))
             param_shardings = shard_params(init_params, mesh)
             host_params = jax.device_get(init_params)
             # two device_puts of the same host tree: distinct buffers, so
             # the donated step never aliases params with ema_params
             params = jax.device_put(host_params, param_shardings)
-            ema_params = jax.device_put(host_params, param_shardings)
+            ema_params = jax.device_put(
+                jax.tree_util.tree_map(
+                    lambda a: np.asarray(a, dtype=ema_dtype), host_params
+                ),
+                param_shardings,
+            )
             # FSDP the optimizer moments like their params: optax state
             # sub-trees (mu/nu) embed the param tree, so an opt-state leaf
             # whose path ends with a param path takes that param's sharding;
@@ -320,11 +343,14 @@ class TrainLoop:
             )
             self._batch_sharding = batch_sharding(mesh)
         else:
+            ema_dtype = jnp.dtype(getattr(config, "ema_dtype", "float32"))
             self.state = {
                 "params": init_params,
                 # distinct buffers: the step donates the state, and aliased
                 # params/ema leaves would trip XLA's donation checker
-                "ema_params": jax.tree_util.tree_map(jnp.copy, init_params),
+                "ema_params": jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, dtype=ema_dtype), init_params
+                ),
                 "opt_state": optimizer.init(init_params),
                 "step": jnp.zeros((), dtype=jnp.int32),
             }

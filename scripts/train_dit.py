@@ -81,6 +81,8 @@ def main():
 
     config = TrainConfig(
         lr=args.lr,
+        optimizer=args.optimizer,
+        ema_dtype=args.ema_dtype,
         weight_decay=args.weight_decay,
         lr_anneal_steps=args.lr_anneal_steps,
         ema_rate=float(args.ema_rate),
@@ -187,6 +189,8 @@ def create_argparser():
         max_steps=-1,
         profile_step=-1,
         remat=False,
+        optimizer="adamw",
+        ema_dtype="float32",
     )
     defaults.update(diffusion_defaults())
     parser = argparse.ArgumentParser()
