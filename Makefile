@@ -1,8 +1,13 @@
 # Convenience targets. TPU work MUST run one process at a time (see CLAUDE.md).
 
-.PHONY: test bench multichip smoke clean
+.PHONY: test test-all bench multichip smoke clean
 
+# fast tier: inner-loop verification in minutes (slow tier has the
+# quality-regression / pipeline-parallel / training scans / bench smoke)
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -q
 
 bench:

@@ -6,19 +6,35 @@ DiTRotary_XL_8 denoiser, k=16 SCG candidates, pitch-hist + note-density +
 chord rules scored on-device, 3 latent classifiers for classifier guidance,
 KL-VAE f8 decode inside the loop, DDPM-1000 with guidance on t<750).
 
-Also measures, and reports inside the metric string:
-  * the DDIM-100 respaced variant of the same k=16 SCG workload (the
-    reference's abla/sampling/ddim/ddim100.yml protocol, paper-validated
-    quality) — run as a FULL 100-step chain, no extrapolation;
-  * (if assets/scoring_decoder_ch64.npz exists) the headline chain with the
-    distilled light scoring decoder (scripts/distill_scoring_decoder.py)
-    doing SCG candidate ranking — opt-in, selection-only.
+Timeout-proof protocol (round-3 redesign, after BENCH_r02 died rc=124 mid
+first compile and left no record):
+  * The headline JSON line is printed and flushed IMMEDIATELY after the
+    first (cheapest) variant is timed; later variants re-emit richer JSON
+    lines.  Every line is a complete, self-sufficient record whose "value"
+    is the best DDPM-1000 headline known so far — whichever line the driver
+    picks from the tail is valid.
+  * A wall-clock budget (env BENCH_BUDGET_S, default 480 s) gates every
+    optional stage; running out of budget skips stages instead of dying.
+  * Params are built as zero trees from `jax.eval_shape` (no host init —
+    the round-2 script spent minutes in `model.init` before any output).
+    Throughput does not depend on weight values.
+  * A daemon heartbeat thread prints elapsed/stage every 20 s so a hang is
+    diagnosable from the driver's captured tail.
+  * Stages after the first JSON line are exception-guarded: a late failure
+    still exits 0 with the already-emitted record intact.
 
-Method for the DDPM-1000 headline: the per-step work is shape-identical
-across the chain, so we time a respaced 40-step chain with the same 3:1
-guided:plain ratio (30 guided / 10 plain) and extrapolate linearly to the
-full 750/250 split. Weights are random — throughput does not depend on
-weight values.
+Variants (in budget order):
+  1. DDPM-1000 headline: per-step work is shape-identical across the chain,
+     so we time a respaced 40-step chain with the same 3:1 guided:plain
+     ratio (30 guided / 10 plain) and extrapolate linearly to the full
+     750/250 split.  (Validated end-to-end: BENCH_FULL_DDPM=1 times the
+     true 1000-step chain — see docs/PERF.md.)
+  2. DDIM-100: the reference abla/sampling/ddim/ddim100.yml protocol,
+     run as a FULL 100-step chain, no extrapolation.
+  3.+4. (if assets/scoring_decoder_ch64.npz exists) both chains with the
+     distilled light scoring decoder ranking SCG candidates — opt-in,
+     selection-only (final decode stays full; reference semantics
+     gaussian_diffusion.py:524,1347-1358).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 baseline is a model of the PyTorch reference on one A100 running the SAME
@@ -29,11 +45,16 @@ gaussian_diffusion.py:1361-1375) at a generous 0.25 s per candidate.
 The metric string also reports the compute-only ratio (vs_compute_bound)
 that ignores the chord pool entirely.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs:
+  BENCH_BUDGET_S   wall-clock budget in seconds (default 480)
+  BENCH_TINY=1     XS-geometry smoke mode (CPU-testable plumbing check)
+  BENCH_FULL_DDPM=1  additionally time the TRUE 1000-step DDPM chain
+  BENCH_LIGHT=0    skip the light-scoring-decoder variants
 """
 
 import json
 import os
+import threading
 import time
 
 import jax
@@ -44,15 +65,103 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(REPO, ".jax_cache"))
 
-BATCH = 4
-K = 16
-FULL_GUIDED, FULL_PLAIN = 750, 250
-BENCH_GUIDED, BENCH_PLAIN = 30, 10
-DDIM_STEPS = 100
 LIGHT_DECODER_NPZ = os.path.join(REPO, "assets", "scoring_decoder_ch64.npz")
 
+_T0 = time.perf_counter()
+_STAGE = {"name": "startup"}
 
-def build():
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _stage(name):
+    _STAGE["name"] = name
+    print(f"[bench {_elapsed():.0f}s] stage: {name}", flush=True)
+
+
+def _start_heartbeat(period_s=20.0):
+    def beat():
+        while True:
+            time.sleep(period_s)
+            print(f"[bench hb {_elapsed():.0f}s] in stage: "
+                  f"{_STAGE['name']}", flush=True)
+
+    t = threading.Thread(target=beat, daemon=True)
+    t.start()
+
+
+def _emit(record):
+    """One complete, self-sufficient JSON line; driver parses the tail."""
+    print(json.dumps(record), flush=True)
+
+
+def _zeros_from_init(init_fn, *args, **kwargs):
+    """Zero param tree with the exact structure/dtypes of ``init_fn``.
+
+    Avoids running the real init (minutes of host compute for the 675M XL);
+    throughput is weight-value independent.
+    """
+    shapes = jax.eval_shape(init_fn, *args, **kwargs)
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+    )
+
+
+class Geometry:
+    """Benchmark geometry; BENCH_TINY=1 swaps in an XS smoke configuration
+    so the full script flow is testable on CPU in seconds."""
+
+    def __init__(self, tiny: bool):
+        self.tiny = tiny
+        if tiny:
+            self.model_name = "DiTRotary_XS_8"
+            self.cls_specs = [
+                ("DiTRotary-XS/8-cls", 12, "grad_nn_zt_mse",
+                 "pitch_hist", 400.0),
+                ("DiTRotary-XS/8-cls", 2, "grad_nn_zt_mse",
+                 "note_density", 10.0),
+            ]
+            self.batch, self.k = 1, 2
+            self.latent_hw = (16, 16)       # 1 VAE chunk -> 128-col roll
+            self.bench_guided, self.bench_plain = 2, 1
+            self.ddim_steps = 3
+            self.decode_chunks = 1
+            self.denoiser_reps = 2
+        else:
+            self.model_name = "DiTRotary_XL_8"
+            self.cls_specs = [
+                ("DiTRotary-S/8-cls", 12, "grad_nn_zt_mse",
+                 "pitch_hist", 400.0),
+                ("DiTRotary-S/8-cls", 16, "grad_nn_zt_mse",
+                 "note_density", 10.0),
+                ("DiTRotary-S/8-chord-cls", 8, "grad_nn_zt_chord",
+                 "chord_progression", 10.0),
+            ]
+            self.batch, self.k = 4, 16
+            self.latent_hw = (128, 16)
+            self.bench_guided, self.bench_plain = 30, 10
+            self.ddim_steps = 100
+            # serialize rollout+decode in groups (identical semantics);
+            # measured sweep: 0.582 (unchunked) -> 0.646 (4) -> 0.673 (8)
+            # -> 0.697 (16) -> 0.712 (32) excerpts/min
+            self.decode_chunks = 32
+            self.denoiser_reps = 20
+        self.full_guided, self.full_plain = 750, 250
+        # windows of the decoded roll: latent time 16 cols <-> one 128-col
+        # (1.28 s) pixel window
+        self.n_windows = self.latent_hw[0] // 16
+
+    def rules(self):
+        b, w = self.batch, self.n_windows
+        return {
+            "pitch_hist": jnp.ones((b, 12)) / 12.0,
+            "note_density": jnp.ones((b, 2 * w)) * 2.0,
+            "chord_progression": jnp.ones((b, w), dtype=jnp.int32),
+        }
+
+
+def build(geom):
     from rule_guided_music_tpu.diffusion.sampling import (
         GuidanceConfig,
         SCGConfig,
@@ -66,57 +175,49 @@ def build():
     )
     from rule_guided_music_tpu.pipeline import (
         ClassifierSpecMeta,
-        _init_on_host,
         make_sample_fn,
     )
 
     dtype = jnp.bfloat16
+    batch = geom.batch
 
-    model = DiT_models["DiTRotary_XL_8"](
-        input_size=(128, 16), in_channels=4, num_classes=3,
+    model = DiT_models[geom.model_name](
+        input_size=geom.latent_hw, in_channels=4, num_classes=3,
         learn_sigma=False, dtype=dtype,
     )
-    x0 = jnp.zeros((BATCH, 4, 128, 16))
-    t0 = jnp.zeros((BATCH,))
-    y0 = jnp.zeros((BATCH,), dtype=jnp.int32)
-    print("initializing XL denoiser...", flush=True)
-    params = _init_on_host(model.init, jax.random.PRNGKey(0), x0, t0, y0)
+    x0 = jnp.zeros((batch, 4, *geom.latent_hw))
+    t0 = jnp.zeros((batch,))
+    y0 = jnp.zeros((batch,), dtype=jnp.int32)
+    _stage("building zero param trees (eval_shape)")
+    params = _zeros_from_init(model.init, jax.random.PRNGKey(0), x0, t0, y0)
 
     vae = AutoencoderKL(dtype=dtype)
-    vae_params = _init_on_host(
+    vae_params = _zeros_from_init(
         vae.init, jax.random.PRNGKey(1), jnp.zeros((1, 3, 128, 128)),
         rng=jax.random.PRNGKey(2),
     )
 
     metas, cls_params = [], []
-    for name, num_classes, fn, rule, scale in [
-        ("DiTRotary-S/8-cls", 12, "grad_nn_zt_mse", "pitch_hist", 400.0),
-        ("DiTRotary-S/8-cls", 16, "grad_nn_zt_mse", "note_density", 10.0),
-        ("DiTRotary-S/8-chord-cls", 8, "grad_nn_zt_chord",
-         "chord_progression", 10.0),
-    ]:
+    for name, num_classes, fn, rule, scale in geom.cls_specs:
         cls_model = DiT_models[name](
-            input_size=(128, 16), in_channels=4, num_classes=num_classes,
-            dtype=dtype,
+            input_size=geom.latent_hw, in_channels=4,
+            num_classes=num_classes, dtype=dtype,
         )
         cls_params.append(
-            _init_on_host(cls_model.init, jax.random.PRNGKey(3), x0, t0)
+            _zeros_from_init(cls_model.init, jax.random.PRNGKey(3), x0, t0)
         )
         metas.append(ClassifierSpecMeta(fn=fn, rule_name=rule, scale=scale,
                                         model=cls_model))
 
     scg_kwargs = dict(
-        num_samples=K,
+        num_samples=geom.k,
         weights=(("pitch_hist", 40.0), ("note_density", 1.0),
                  ("chord_progression", 1.0)),
-        # serialize rollout+decode in groups (identical semantics);
-        # measured sweep: 0.582 (unchunked) -> 0.646 (4) -> 0.673 (8)
-        # -> 0.697 (16) -> 0.712 (32) excerpts/min
-        decode_chunks=32,
+        decode_chunks=geom.decode_chunks,
     )
     common = dict(
         denoiser_model=model,
-        gen_shape=(BATCH, 4, 128, 16),
+        gen_shape=(batch, 4, *geom.latent_hw),
         vae_model=vae,
         classifier_metas=metas,
         guidance_method="classifier_guidance",
@@ -128,30 +229,45 @@ def build():
 
     variants = {}
 
-    # headline: DDPM-1000 measured on a respaced shape-identical 40 chain
-    steps = BENCH_GUIDED + BENCH_PLAIN
+    # headline: DDPM-1000 measured on a respaced shape-identical probe chain
+    steps = geom.bench_guided + geom.bench_plain
     ddpm_tables = make_schedule(
         "linear", 1000, timestep_respacing=str(steps)).tables()
     ddpm_config = SamplerConfig(
         sampler="ddpm",
         guidance=GuidanceConfig(method="classifier_guidance", schedule=True,
-                                t_start=BENCH_GUIDED, t_end=0, interval=1),
+                                t_start=geom.bench_guided, t_end=0,
+                                interval=1),
         scg=SCGConfig(**scg_kwargs),
     )
     variants["ddpm1000"] = make_sample_fn(
         tables=ddpm_tables, sampler_config=ddpm_config, **common)
 
-    # ddim100: the abla respaced protocol, full 100-step chain, SCG every step
+    # ddim100: the abla respaced protocol, full chain, SCG every step
     ddim_tables = make_schedule(
-        "linear", 1000, timestep_respacing=f"ddim{DDIM_STEPS}").tables()
+        "linear", 1000,
+        timestep_respacing=f"ddim{geom.ddim_steps}").tables()
     ddim_config = SamplerConfig(
         sampler="ddim", eta=1.0,
         guidance=GuidanceConfig(method="classifier_guidance", schedule=True,
-                                t_start=DDIM_STEPS, t_end=0, interval=1),
+                                t_start=geom.ddim_steps, t_end=0, interval=1),
         scg=SCGConfig(**scg_kwargs),
     )
     variants["ddim100"] = make_sample_fn(
         tables=ddim_tables, sampler_config=ddim_config, **common)
+
+    # optional: the TRUE full DDPM-1000 chain (BENCH_FULL_DDPM=1)
+    if os.environ.get("BENCH_FULL_DDPM") == "1":
+        full_tables = make_schedule("linear", 1000).tables()
+        full_config = SamplerConfig(
+            sampler="ddpm",
+            guidance=GuidanceConfig(method="classifier_guidance",
+                                    schedule=True, t_start=geom.full_guided,
+                                    t_end=0, interval=1),
+            scg=SCGConfig(**scg_kwargs),
+        )
+        variants["ddpm1000_full"] = make_sample_fn(
+            tables=full_tables, sampler_config=full_config, **common)
 
     bundle = {
         "denoiser": params,
@@ -161,7 +277,9 @@ def build():
 
     # opt-in light scoring decoder (selection only)
     light_agreement = None
-    if os.path.exists(LIGHT_DECODER_NPZ):
+    use_light = (os.environ.get("BENCH_LIGHT", "1") == "1"
+                 and not geom.tiny and os.path.exists(LIGHT_DECODER_NPZ))
+    if use_light:
         from rule_guided_music_tpu.utils.fixtures import unflatten_tree
 
         data = np.load(LIGHT_DECODER_NPZ)
@@ -181,111 +299,188 @@ def build():
         print(f"light scoring decoder loaded "
               f"(agreement={light_agreement:.3f})", flush=True)
 
-    rules = {
-        "pitch_hist": jnp.ones((BATCH, 12)) / 12.0,
-        "note_density": jnp.ones((BATCH, 16)) * 2.0,
-        "chord_progression": jnp.ones((BATCH, 8), dtype=jnp.int32),
-    }
-    y = jnp.ones((BATCH,), dtype=jnp.int32)
+    rules = geom.rules()
+    y = jnp.ones((batch,), dtype=jnp.int32)
 
     denoiser_step = jax.jit(model.apply)
     return variants, bundle, rules, y, denoiser_step, params, light_agreement
 
 
 def _time_variant(generate, bundle, rules, y, label):
-    print(f"compiling {label}...", flush=True)
+    _stage(f"compiling {label}")
     t0 = time.perf_counter()
     sample, _ = generate(jax.random.PRNGKey(0), bundle, rules, y)
     sample.block_until_ready()
-    print(f"{label} compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+    print(f"[bench {_elapsed():.0f}s] {label} compile+first: "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    _stage(f"timing {label}")
     t0 = time.perf_counter()
     sample, _ = generate(jax.random.PRNGKey(1), bundle, rules, y)
     sample.block_until_ready()
     return time.perf_counter() - t0
 
 
-def main():
-    (variants, bundle, rules, y, denoiser_step, params,
-     light_agreement) = build()
-
-    # --- DDPM-1000 headline (respaced 40-step, extrapolated) --------------
-    bench_wall = _time_variant(variants["ddpm1000"], bundle, rules, y,
-                               "ddpm1000 (40-step probe)")
-    scale = (FULL_GUIDED + FULL_PLAIN) / (BENCH_GUIDED + BENCH_PLAIN)
-    ddpm_per_min = BATCH * 60.0 / (bench_wall * scale)
-
-    # --- DDIM-100 (full chain, no extrapolation) ---------------------------
-    ddim_wall = _time_variant(variants["ddim100"], bundle, rules, y,
-                              "ddim100 (full chain)")
-    ddim_per_min = BATCH * 60.0 / ddim_wall
-
-    # --- light scoring decoder variants ------------------------------------
-    light_per_min = ddim_light_per_min = None
-    if "ddpm1000_light" in variants:
-        light_wall = _time_variant(variants["ddpm1000_light"], bundle,
-                                   rules, y, "ddpm1000+light-decoder")
-        light_per_min = BATCH * 60.0 / (light_wall * scale)
-        ddim_light_wall = _time_variant(variants["ddim100_light"], bundle,
-                                        rules, y, "ddim100+light-decoder")
-        ddim_light_per_min = BATCH * 60.0 / ddim_light_wall
-
-    # --- bare denoiser per-step latency ------------------------------------
-    x = jnp.zeros((BATCH, 4, 128, 16))
-    t = jnp.zeros((BATCH,))
-    yv = jnp.zeros((BATCH,), dtype=jnp.int32)
-    denoiser_step(params, x, t, yv).block_until_ready()
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = denoiser_step(params, x, t, yv)
-    out.block_until_ready()
-    denoiser_ms = (time.perf_counter() - t0) / reps * 1000
-
-    # --- reference FLOP-model baseline (A100, generous) --------------------
+def reference_model(geom):
+    """FLOP model of the PyTorch reference on one A100 (see module doc)."""
+    k, batch = geom.k, geom.batch
     dit_flops = 2 * 675e6 * 256                      # per example fwd
     vae_dec_flops = 75e9                             # per 128x128 chunk decode
     cls_flops = 3 * 2 * 33e6 * 257 * 3               # 3 classifiers fwd+bwd
+    chunks = 8
     guided_step = (
-        (1 + K) * BATCH * dit_flops
-        + K * BATCH * 8 * vae_dec_flops
-        + BATCH * cls_flops
+        (1 + k) * batch * dit_flops
+        + k * batch * chunks * vae_dec_flops
+        + batch * cls_flops
     )
-    plain_step = BATCH * dit_flops + BATCH * cls_flops
-    total_flops = FULL_GUIDED * guided_step + FULL_PLAIN * plain_step
+    plain_step = batch * dit_flops + batch * cls_flops
+    total_flops = (geom.full_guided * guided_step
+                   + geom.full_plain * plain_step)
     a100_flops_per_s = 312e12 * 0.40
     ref_compute_wall = total_flops / a100_flops_per_s
     # chord pool: k*B candidates / 4 processes / step, 0.25 s per analysis
-    chord_pool_wall = FULL_GUIDED * (K * BATCH / 4) * 0.25
+    chord_pool_wall = geom.full_guided * (k * batch / 4) * 0.25
     ref_wall = ref_compute_wall + chord_pool_wall
-    ref_per_min = BATCH * 60.0 / ref_wall
-    ref_compute_per_min = BATCH * 60.0 / ref_compute_wall
+    ref_ddim_wall = (geom.ddim_steps * guided_step / a100_flops_per_s
+                     + geom.ddim_steps * (k * batch / 4) * 0.25)
+    return {
+        "ref_per_min": batch * 60.0 / ref_wall,
+        "ref_compute_per_min": batch * 60.0 / ref_compute_wall,
+        "ref_ddim_per_min": batch * 60.0 / ref_ddim_wall,
+    }
 
-    # ddim100 reference model: same per-step work, 100 all-guided steps
-    ref_ddim_wall = (DDIM_STEPS * guided_step / a100_flops_per_s
-                     + DDIM_STEPS * (K * BATCH / 4) * 0.25)
-    ref_ddim_per_min = BATCH * 60.0 / ref_ddim_wall
 
-    extras = (f"ddim100={ddim_per_min:.3f}/min "
-              f"(vs_ddim100_baseline={ddim_per_min / ref_ddim_per_min:.2f})")
-    if light_per_min is not None:
-        extras += (f", light_decoder={light_per_min:.3f}/min "
-                   f"(selection_agreement={light_agreement:.3f}), "
-                   f"ddim100_light={ddim_light_per_min:.3f}/min")
+def main():
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    geom = Geometry(tiny)
+    _start_heartbeat()
+    _stage("importing package / building variants")
+    (variants, bundle, rules, y, denoiser_step, params,
+     light_agreement) = build(geom)
 
-    print(
-        json.dumps(
-            {
-                "metric": "excerpts/min/chip (10.24s SCG all-rules, k=16, "
-                          f"DDPM-1000, denoiser_step_ms={denoiser_ms:.1f}, "
-                          "vs_compute_bound="
-                          f"{ddpm_per_min / ref_compute_per_min:.2f}, "
-                          + extras + ")",
-                "value": round(ddpm_per_min, 4),
-                "unit": "excerpts/min/chip",
-                "vs_baseline": round(ddpm_per_min / ref_per_min, 2),
-            }
-        )
-    )
+    _stage("first device touch")
+    jnp.zeros(()).block_until_ready()
+    print(f"[bench {_elapsed():.0f}s] device ready: "
+          f"{jax.devices()[0].platform}", flush=True)
+
+    ref = reference_model(geom)
+    state = {
+        "denoiser_ms": None,
+        "ddim_per_min": None,
+        "light_per_min": None,
+        "ddim_light_per_min": None,
+        "full_measured_per_min": None,
+    }
+
+    def emit_record(ddpm_per_min):
+        extras = []
+        if state["denoiser_ms"] is not None:
+            extras.append(f"denoiser_step_ms={state['denoiser_ms']:.1f}")
+        extras.append("vs_compute_bound="
+                      f"{ddpm_per_min / ref['ref_compute_per_min']:.2f}")
+        if state["ddim_per_min"] is not None:
+            extras.append(
+                f"ddim100={state['ddim_per_min']:.3f}/min "
+                f"(vs_ddim100_baseline="
+                f"{state['ddim_per_min'] / ref['ref_ddim_per_min']:.2f})")
+        if state["light_per_min"] is not None:
+            extras.append(
+                f"light_decoder={state['light_per_min']:.3f}/min "
+                f"(selection_agreement={light_agreement:.3f})")
+        if state["ddim_light_per_min"] is not None:
+            extras.append(
+                f"ddim100_light={state['ddim_light_per_min']:.3f}/min")
+        if state["full_measured_per_min"] is not None:
+            extras.append("ddpm1000_measured_full="
+                          f"{state['full_measured_per_min']:.3f}/min")
+        _emit({
+            "metric": "excerpts/min/chip (10.24s SCG all-rules, k=16, "
+                      "DDPM-1000, " + ", ".join(extras) + ")",
+            "value": round(ddpm_per_min, 4),
+            "unit": "excerpts/min/chip",
+            "vs_baseline": round(ddpm_per_min / ref["ref_per_min"], 2),
+        })
+
+    def remaining():
+        return budget_s - _elapsed()
+
+    # --- DDPM-1000 headline (respaced probe, extrapolated) — FIRST JSON ---
+    bench_wall = _time_variant(variants["ddpm1000"], bundle, rules, y,
+                               "ddpm1000 (probe chain)")
+    scale = ((geom.full_guided + geom.full_plain)
+             / (geom.bench_guided + geom.bench_plain))
+    ddpm_per_min = geom.batch * 60.0 / (bench_wall * scale)
+    emit_record(ddpm_per_min)
+
+    # --- bare denoiser per-step latency (cheap) ----------------------------
+    try:
+        if remaining() > 30:
+            _stage("denoiser step latency")
+            x = jnp.zeros((geom.batch, 4, *geom.latent_hw))
+            t = jnp.zeros((geom.batch,))
+            yv = jnp.zeros((geom.batch,), dtype=jnp.int32)
+            denoiser_step(params, x, t, yv).block_until_ready()
+            reps = geom.denoiser_reps
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = denoiser_step(params, x, t, yv)
+            out.block_until_ready()
+            state["denoiser_ms"] = (time.perf_counter() - t0) / reps * 1000
+            emit_record(ddpm_per_min)
+        else:
+            print(f"[bench {_elapsed():.0f}s] budget: skip denoiser latency",
+                  flush=True)
+    except Exception as e:          # keep the emitted record intact
+        print(f"[bench {_elapsed():.0f}s] denoiser latency failed: {e!r}",
+              flush=True)
+
+    # --- DDIM-100 (full chain, no extrapolation) ---------------------------
+    try:
+        if remaining() > 90:
+            ddim_wall = _time_variant(variants["ddim100"], bundle, rules, y,
+                                      "ddim100 (full chain)")
+            state["ddim_per_min"] = geom.batch * 60.0 / ddim_wall
+            emit_record(ddpm_per_min)
+        else:
+            print(f"[bench {_elapsed():.0f}s] budget: skip ddim100",
+                  flush=True)
+    except Exception as e:
+        print(f"[bench {_elapsed():.0f}s] ddim100 failed: {e!r}", flush=True)
+
+    # --- light scoring decoder variants ------------------------------------
+    try:
+        if "ddpm1000_light" in variants and remaining() > 90:
+            light_wall = _time_variant(variants["ddpm1000_light"], bundle,
+                                       rules, y, "ddpm1000+light-decoder")
+            state["light_per_min"] = geom.batch * 60.0 / (light_wall * scale)
+            emit_record(ddpm_per_min)
+        if "ddim100_light" in variants and remaining() > 90:
+            ddim_light_wall = _time_variant(
+                variants["ddim100_light"], bundle, rules, y,
+                "ddim100+light-decoder")
+            state["ddim_light_per_min"] = geom.batch * 60.0 / ddim_light_wall
+            emit_record(ddpm_per_min)
+    except Exception as e:
+        print(f"[bench {_elapsed():.0f}s] light variants failed: {e!r}",
+              flush=True)
+
+    # --- TRUE full DDPM-1000 chain (opt-in; ~10 min wall) ------------------
+    try:
+        if "ddpm1000_full" in variants:
+            full_wall = _time_variant(variants["ddpm1000_full"], bundle,
+                                      rules, y, "ddpm1000 (TRUE full chain)")
+            state["full_measured_per_min"] = geom.batch * 60.0 / full_wall
+            print(f"[bench {_elapsed():.0f}s] full-chain check: "
+                  f"measured={state['full_measured_per_min']:.4f}/min vs "
+                  f"extrapolated={ddpm_per_min:.4f}/min "
+                  f"(ratio {state['full_measured_per_min']/ddpm_per_min:.3f})",
+                  flush=True)
+            emit_record(ddpm_per_min)
+    except Exception as e:
+        print(f"[bench {_elapsed():.0f}s] full ddpm chain failed: {e!r}",
+              flush=True)
+
+    _stage("done")
 
 
 if __name__ == "__main__":
