@@ -283,6 +283,44 @@ def make_sample_fn(
     """
     classifier_metas = classifier_metas or []
 
+    # HBM preflight: configs whose SCG candidate-decode working set exceeds
+    # device memory used to compile fine and hard-fault the chip mid-chain
+    # (docs/PERF.md round-2 fault rows). Estimate and fail BEFORE compiling.
+    scg = sampler_config.scg
+    hidden = getattr(denoiser_model, "hidden_size", None)
+    if (scg is not None and use_decode and hidden is not None
+            and (vae_model is not None or scoring_vae_model is not None)):
+        from .diffusion.memory import (
+            dit_param_count,
+            preflight_scg,
+            vae_param_count,
+        )
+
+        param_count = dit_param_count(
+            hidden, denoiser_model.depth,
+            patch=getattr(denoiser_model, "patch_size", 8),
+        )
+        for meta in classifier_metas:
+            if meta.model is not None and hasattr(meta.model, "hidden_size"):
+                param_count += dit_param_count(
+                    meta.model.hidden_size, meta.model.depth,
+                    patch=getattr(meta.model, "patch_size", 8),
+                )
+        decoder_ch = 128
+        if vae_model is not None:
+            decoder_ch = vae_model.ch
+            param_count += vae_param_count(vae_model.ch)
+        if scoring_vae_model is not None:
+            decoder_ch = scoring_vae_model.ch
+            # decoder-only module: roughly half an AutoencoderKL
+            param_count += vae_param_count(scoring_vae_model.ch) // 2
+        preflight_scg(
+            gen_shape=tuple(gen_shape), k=scg.num_samples,
+            decode_chunks=scg.decode_chunks, param_count=param_count,
+            hidden=hidden, decoder_ch=decoder_ch,
+            compute_bytes=2 if denoiser_model.dtype == jnp.bfloat16 else 4,
+        )
+
     def generate(rng, params, rules, y=None, edit_gt=None, edit_mask=None):
         base_apply = lambda x, t, yy: denoiser_model.apply(
             params["denoiser"], x, t, yy
