@@ -72,6 +72,10 @@ _DIT_TP_RULES = [
     (r"adaLN_modulation/bias$", P("model")),
     (r"attn/qkv/bias$", P("model")),
     (r"mlp/fc1/bias$", P("model")),
+    # conv kernels (VAE enc/dec, flax layout (kh, kw, in, out)): shard the
+    # output-channel axis — without this the whole 55M f8-VAE replicated
+    # (the generic kernel rule would land 'fsdp' on kh=3 and degrade)
+    (r"kernel$", P(None, None, None, "fsdp")),
     # embedders / heads: fsdp only
     (r"kernel$", P("fsdp", None)),
     (r"embedding_table$", P(None, "fsdp")),

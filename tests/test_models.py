@@ -176,6 +176,7 @@ def test_label_dropout_applied_in_training():
     np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_eval2))
 
 
+@pytest.mark.slow
 def test_vae_roundtrip_shapes():
     vae = AutoencoderKL(ch=16, ch_mult=(1, 2, 2, 4), num_res_blocks=1)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 64, 64))
@@ -215,6 +216,7 @@ def test_registry_names_match_reference():
     assert expected.issubset(set(DiT_models.keys()))
 
 
+@pytest.mark.slow
 def test_vae_fused_gn_param_tree_and_equivalence():
     """fused_gn=True/False share the parameter tree and match numerically
     (fused path runs the Pallas kernel in interpret mode on CPU)."""
@@ -241,6 +243,7 @@ def test_vae_fused_gn_param_tree_and_equivalence():
                                atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_dit_rotary_remat_matches_plain():
     """remat=True must change nothing but memory: same param tree, same
     forward, same gradients (jax.checkpoint per block)."""

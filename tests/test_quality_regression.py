@@ -39,10 +39,13 @@ from rule_guided_music_tpu.utils.fixtures import load_fixture_npz, make_rolls
 FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "fixtures", "quality_tiny.npz")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(FIXTURE),
-    reason="quality fixture missing — run scripts/make_quality_fixture.py",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(FIXTURE),
+        reason="quality fixture missing — run scripts/make_quality_fixture.py",
+    ),
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

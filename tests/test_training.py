@@ -385,6 +385,7 @@ def test_lpips_module_and_converter():
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 def test_vae_train_step_with_perceptual_term():
     from rule_guided_music_tpu.models import AutoencoderKL
     from rule_guided_music_tpu.training.perceptual import LPIPS
