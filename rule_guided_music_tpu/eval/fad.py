@@ -63,6 +63,14 @@ def compute_fad(background_dir: str, eval_dir: str) -> float:
 # published VGGish-FAD numbers — use it for relative comparisons between
 # sample sets produced in this repo; swap in compute_fad when the full
 # stack is available.
+#
+# Validity envelope (tests/test_fad_proxy_validity.py): the score is 0 for
+# identical sets and increases monotonically under progressive pitch/timing
+# corruption (measured 435 -> 714 -> 924 -> 1322 across severities 0/.25/.5/1
+# on 12-clip sets). Caveats: (a) absolute values are meaningless across
+# embedding configs and NOT comparable to VGGish FAD; (b) the clean-vs-clean
+# baseline is sizable at small N (rank-deficient covariances) — compare sets
+# of equal size and treat only the ordering as signal.
 
 import numpy as np
 
