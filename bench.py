@@ -306,6 +306,23 @@ def build(geom):
     return variants, bundle, rules, y, denoiser_step, params, light_agreement
 
 
+def _report_memory(label):
+    """Peak/limit HBM after a variant — calibrates diffusion/memory.py's
+    preflight constants against reality (docs/PERF.md)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            peak = stats.get("peak_bytes_in_use")
+            limit = stats.get("bytes_limit")
+            if peak is not None:
+                print(f"[bench {_elapsed():.0f}s] {label} hbm: "
+                      f"peak={peak/1e9:.2f}GB"
+                      + (f" limit={limit/1e9:.2f}GB" if limit else ""),
+                      flush=True)
+    except Exception:
+        pass
+
+
 def _time_variant(generate, bundle, rules, y, label):
     _stage(f"compiling {label}")
     t0 = time.perf_counter()
@@ -317,7 +334,9 @@ def _time_variant(generate, bundle, rules, y, label):
     t0 = time.perf_counter()
     sample, _ = generate(jax.random.PRNGKey(1), bundle, rules, y)
     sample.block_until_ready()
-    return time.perf_counter() - t0
+    wall = time.perf_counter() - t0
+    _report_memory(label)
+    return wall
 
 
 def reference_model(geom):
@@ -350,6 +369,10 @@ def reference_model(geom):
 
 
 def main():
+    # bench configs are known-good on this chip; a miscalibrated preflight
+    # estimate must never kill the official record (unit tests cover the
+    # preflight itself)
+    os.environ.setdefault("RGM_SKIP_HBM_PREFLIGHT", "1")
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
     tiny = os.environ.get("BENCH_TINY") == "1"
     geom = Geometry(tiny)
