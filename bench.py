@@ -299,6 +299,21 @@ def build(geom):
         print(f"light scoring decoder loaded "
               f"(agreement={light_agreement:.3f})", flush=True)
 
+        # light rollout denoiser stacked on top (selection-only, like the
+        # light decoder; throughput is weight-independent so zero params
+        # suffice — quality gating: scripts/distill_scoring_rollout.py)
+        if os.environ.get("BENCH_LIGHT_ROLLOUT", "1") == "1":
+            rollout = DiT_models["DiTRotary_B_8"](
+                input_size=geom.latent_hw, in_channels=4, num_classes=3,
+                learn_sigma=False, dtype=dtype,
+            )
+            bundle["scoring_denoiser"] = _zeros_from_init(
+                rollout.init, jax.random.PRNGKey(4), x0, t0, y0)
+            variants["ddim100_light2"] = make_sample_fn(
+                tables=ddim_tables, sampler_config=ddim_config,
+                scoring_vae_model=light, scoring_denoiser_model=rollout,
+                **common)
+
     rules = geom.rules()
     y = jnp.ones((batch,), dtype=jnp.int32)
 
@@ -392,6 +407,7 @@ def main():
         "ddim_per_min": None,
         "light_per_min": None,
         "ddim_light_per_min": None,
+        "ddim_light2_per_min": None,
         "full_measured_per_min": None,
     }
 
@@ -413,6 +429,10 @@ def main():
         if state["ddim_light_per_min"] is not None:
             extras.append(
                 f"ddim100_light={state['ddim_light_per_min']:.3f}/min")
+        if state["ddim_light2_per_min"] is not None:
+            extras.append(
+                "ddim100_light_rollout="
+                f"{state['ddim_light2_per_min']:.3f}/min")
         if state["full_measured_per_min"] is not None:
             extras.append("ddpm1000_measured_full="
                           f"{state['full_measured_per_min']:.3f}/min")
@@ -482,6 +502,12 @@ def main():
                 variants["ddim100_light"], bundle, rules, y,
                 "ddim100+light-decoder")
             state["ddim_light_per_min"] = geom.batch * 60.0 / ddim_light_wall
+            emit_record(ddpm_per_min)
+        if "ddim100_light2" in variants and remaining() > 90:
+            light2_wall = _time_variant(
+                variants["ddim100_light2"], bundle, rules, y,
+                "ddim100+light-decoder+light-rollout")
+            state["ddim_light2_per_min"] = geom.batch * 60.0 / light2_wall
             emit_record(ddpm_per_min)
     except Exception as e:
         print(f"[bench {_elapsed():.0f}s] light variants failed: {e!r}",

@@ -116,12 +116,23 @@ def _scg_select(
     g_coeff: jnp.ndarray,
     t: jnp.ndarray,
     y: Optional[jnp.ndarray],
+    scoring_model_fn: Optional[Callable] = None,
 ):
     """One SCG search step: sample k candidates, one-step rollout, score,
-    argmax (gaussian_diffusion.py:491-592)."""
+    argmax (gaussian_diffusion.py:491-592).
+
+    ``scoring_model_fn``: optional cheaper denoiser for the k-candidate
+    rollout — the rollout exists only to RANK candidates (its x̂0 estimate
+    never enters the trajectory; the selected candidate itself came from
+    the full model's mean/σ), so like the light scoring decoder this is a
+    selection-only substitution (reference semantics:
+    gaussian_diffusion.py:518-524 uses one model for both, but only
+    selection is throughput-critical).
+    """
     scg = config.scg
     k = scg.num_samples
     b = mean.shape[0]
+    rollout_fn = scoring_model_fn if scoring_model_fn is not None else model_fn
     noise = jax.random.normal(rng, (k,) + mean.shape, dtype=mean.dtype)
     candidates = mean[None] + g_coeff[None] * noise          # (k, B, C, T, P)
     flat = candidates.reshape((k * b,) + mean.shape[1:])
@@ -132,8 +143,8 @@ def _scg_select(
 
     def rollout_and_decode(args):
         flat_g, t_g, y_g = args
-        model_out = model_fn(flat_g, tables.model_t[t_g],
-                             y_g if has_y else None)
+        model_out = rollout_fn(flat_g, tables.model_t[t_g],
+                               y_g if has_y else None)
         eps = _split_eps(model_out, config.var_type)
         x0 = gd.predict_xstart_from_eps(tables, flat_g, t_g, eps)
         if config.edit is not None:
@@ -318,6 +329,7 @@ def sample_loop(
     edit_gt: Optional[jnp.ndarray] = None,
     edit_mask: Optional[jnp.ndarray] = None,
     noise: Optional[jnp.ndarray] = None,
+    scoring_model_fn: Optional[Callable] = None,
 ):
     """Run the full reverse chain; returns (sample, record_dict).
 
@@ -434,6 +446,7 @@ def sample_loop(
                 sel, rec = _scg_select(
                     config, tables, model_fn, decode_fn, rules,
                     rng_, mean_, coeff_, t, y,
+                    scoring_model_fn=scoring_model_fn,
                 )
                 return sel, rec
 

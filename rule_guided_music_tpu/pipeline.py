@@ -267,6 +267,7 @@ def make_sample_fn(
     collage: Optional[dict] = None,
     mesh=None,
     scoring_vae_model=None,
+    scoring_denoiser_model=None,
 ):
     """Build a jitted ``generate(rng, params, rules, y[, edit])`` function.
 
@@ -314,27 +315,52 @@ def make_sample_fn(
             decoder_ch = scoring_vae_model.ch
             # decoder-only module: roughly half an AutoencoderKL
             param_count += vae_param_count(scoring_vae_model.ch) // 2
+        rollout_hidden = hidden
+        if (scoring_denoiser_model is not None
+                and hasattr(scoring_denoiser_model, "hidden_size")):
+            rollout_hidden = scoring_denoiser_model.hidden_size
+            param_count += dit_param_count(
+                rollout_hidden, scoring_denoiser_model.depth,
+                patch=getattr(scoring_denoiser_model, "patch_size", 8),
+            )
         preflight_scg(
             gen_shape=tuple(gen_shape), k=scg.num_samples,
             decode_chunks=scg.decode_chunks, param_count=param_count,
-            hidden=hidden, decoder_ch=decoder_ch,
+            hidden=rollout_hidden, decoder_ch=decoder_ch,
             compute_bytes=2 if denoiser_model.dtype == jnp.bfloat16 else 4,
         )
 
     def generate(rng, params, rules, y=None, edit_gt=None, edit_mask=None):
-        base_apply = lambda x, t, yy: denoiser_model.apply(
-            params["denoiser"], x, t, yy
-        )
-        model_fn = make_model_fn(
-            base_apply, num_classes=num_classes, class_cond=class_cond,
-            cfg=cfg, w=w,
-        )
-        if collage:
-            from .diffusion.collage import make_cond_ind_eps_fn
+        def wrap_model(apply):
+            fn = make_model_fn(
+                apply, num_classes=num_classes, class_cond=class_cond,
+                cfg=cfg, w=w,
+            )
+            if collage:
+                from .diffusion.collage import make_cond_ind_eps_fn
 
-            model_fn = make_cond_ind_eps_fn(
-                model_fn, collage["num_img"], collage["overlap"],
-                circle=collage.get("circle", False),
+                fn = make_cond_ind_eps_fn(
+                    fn, collage["num_img"], collage["overlap"],
+                    circle=collage.get("circle", False),
+                )
+            return fn
+
+        model_fn = wrap_model(
+            lambda x, t, yy: denoiser_model.apply(params["denoiser"], x, t, yy)
+        )
+
+        scoring_model_fn = None
+        if scoring_denoiser_model is not None:
+            # opt-in light rollout denoiser: SCG candidate *ranking* only —
+            # the one-step x̂0 rollout never enters the trajectory, so this
+            # is the denoiser analog of the light scoring decoder (expects
+            # params["scoring_denoiser"], e.g. from
+            # scripts/distill_scoring_rollout.py). Gets the same CFG /
+            # DiffCollage wrapping as the main closure.
+            scoring_model_fn = wrap_model(
+                lambda x, t, yy: scoring_denoiser_model.apply(
+                    params["scoring_denoiser"], x, t, yy
+                )
             )
 
         decode_fn = None
@@ -382,6 +408,7 @@ def make_sample_fn(
             rng, model_fn, tuple(gen_shape), tables, sampler_config,
             y=y, rules=rules, cond_fn=cond_fn, decode_fn=decode_fn,
             edit_gt=edit_gt, edit_mask=edit_mask,
+            scoring_model_fn=scoring_model_fn,
         )
 
     jitted = jax.jit(generate)
