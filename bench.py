@@ -338,19 +338,35 @@ def _report_memory(label):
         pass
 
 
-def _time_variant(generate, bundle, rules, y, label):
+def _sync(out):
+    """Hard execution barrier: block_until_ready proved unreliable for some
+    variants on the axon runtime (r3 session 1: 100-step chains 'timing' at
+    0.05 s, with the deferred fault surfacing on a later dispatch).  A host
+    transfer of the result cannot complete before the execution has."""
+    sample = out[0]
+    jax.block_until_ready(out)
+    return float(jnp.sum(jnp.abs(sample).astype(jnp.float32)))
+
+
+def _time_variant(generate, bundle, rules, y, label, steps_hint=None):
     _stage(f"compiling {label}")
     t0 = time.perf_counter()
-    sample, _ = generate(jax.random.PRNGKey(0), bundle, rules, y)
-    sample.block_until_ready()
+    check = _sync(generate(jax.random.PRNGKey(0), bundle, rules, y))
     print(f"[bench {_elapsed():.0f}s] {label} compile+first: "
-          f"{time.perf_counter() - t0:.1f}s", flush=True)
+          f"{time.perf_counter() - t0:.1f}s (sum={check:.3e})", flush=True)
     _stage(f"timing {label}")
     t0 = time.perf_counter()
-    sample, _ = generate(jax.random.PRNGKey(1), bundle, rules, y)
-    sample.block_until_ready()
+    _sync(generate(jax.random.PRNGKey(1), bundle, rules, y))
     wall = time.perf_counter() - t0
     _report_memory(label)
+    if steps_hint and wall < steps_hint * 0.002:
+        # even a bare denoiser step is ~2 ms; anything faster per step
+        # means the barrier was defeated — flag loudly rather than report
+        # a fantasy number
+        print(f"[bench {_elapsed():.0f}s] WARNING: {label} wall "
+              f"{wall:.3f}s is implausible for {steps_hint} steps — "
+              f"treating as unreliable", flush=True)
+        return None
     return wall
 
 
@@ -448,8 +464,17 @@ def main():
         return budget_s - _elapsed()
 
     # --- DDPM-1000 headline (respaced probe, extrapolated) — FIRST JSON ---
+    probe_steps = geom.bench_guided + geom.bench_plain
     bench_wall = _time_variant(variants["ddpm1000"], bundle, rules, y,
-                               "ddpm1000 (probe chain)")
+                               "ddpm1000 (probe chain)",
+                               steps_hint=probe_steps)
+    if bench_wall is None:        # one retry, then refuse to invent numbers
+        bench_wall = _time_variant(variants["ddpm1000"], bundle, rules, y,
+                                   "ddpm1000 (probe chain, retry)",
+                                   steps_hint=probe_steps)
+    if bench_wall is None:
+        raise RuntimeError("headline probe timing unreliable twice — "
+                           "refusing to emit a fantasy headline")
     scale = ((geom.full_guided + geom.full_plain)
              / (geom.bench_guided + geom.bench_plain))
     ddpm_per_min = geom.batch * 60.0 / (bench_wall * scale)
@@ -481,9 +506,11 @@ def main():
     try:
         if remaining() > 90:
             ddim_wall = _time_variant(variants["ddim100"], bundle, rules, y,
-                                      "ddim100 (full chain)")
-            state["ddim_per_min"] = geom.batch * 60.0 / ddim_wall
-            emit_record(ddpm_per_min)
+                                      "ddim100 (full chain)",
+                                      steps_hint=geom.ddim_steps)
+            if ddim_wall is not None:
+                state["ddim_per_min"] = geom.batch * 60.0 / ddim_wall
+                emit_record(ddpm_per_min)
         else:
             print(f"[bench {_elapsed():.0f}s] budget: skip ddim100",
                   flush=True)
@@ -494,21 +521,29 @@ def main():
     try:
         if "ddpm1000_light" in variants and remaining() > 90:
             light_wall = _time_variant(variants["ddpm1000_light"], bundle,
-                                       rules, y, "ddpm1000+light-decoder")
-            state["light_per_min"] = geom.batch * 60.0 / (light_wall * scale)
-            emit_record(ddpm_per_min)
+                                       rules, y, "ddpm1000+light-decoder",
+                                       steps_hint=probe_steps)
+            if light_wall is not None:
+                state["light_per_min"] = geom.batch * 60.0 / (light_wall
+                                                              * scale)
+                emit_record(ddpm_per_min)
         if "ddim100_light" in variants and remaining() > 90:
             ddim_light_wall = _time_variant(
                 variants["ddim100_light"], bundle, rules, y,
-                "ddim100+light-decoder")
-            state["ddim_light_per_min"] = geom.batch * 60.0 / ddim_light_wall
-            emit_record(ddpm_per_min)
+                "ddim100+light-decoder", steps_hint=geom.ddim_steps)
+            if ddim_light_wall is not None:
+                state["ddim_light_per_min"] = (geom.batch * 60.0
+                                               / ddim_light_wall)
+                emit_record(ddpm_per_min)
         if "ddim100_light2" in variants and remaining() > 90:
             light2_wall = _time_variant(
                 variants["ddim100_light2"], bundle, rules, y,
-                "ddim100+light-decoder+light-rollout")
-            state["ddim_light2_per_min"] = geom.batch * 60.0 / light2_wall
-            emit_record(ddpm_per_min)
+                "ddim100+light-decoder+light-rollout",
+                steps_hint=geom.ddim_steps)
+            if light2_wall is not None:
+                state["ddim_light2_per_min"] = (geom.batch * 60.0
+                                                / light2_wall)
+                emit_record(ddpm_per_min)
     except Exception as e:
         print(f"[bench {_elapsed():.0f}s] light variants failed: {e!r}",
               flush=True)
@@ -517,14 +552,18 @@ def main():
     try:
         if "ddpm1000_full" in variants:
             full_wall = _time_variant(variants["ddpm1000_full"], bundle,
-                                      rules, y, "ddpm1000 (TRUE full chain)")
-            state["full_measured_per_min"] = geom.batch * 60.0 / full_wall
-            print(f"[bench {_elapsed():.0f}s] full-chain check: "
-                  f"measured={state['full_measured_per_min']:.4f}/min vs "
-                  f"extrapolated={ddpm_per_min:.4f}/min "
-                  f"(ratio {state['full_measured_per_min']/ddpm_per_min:.3f})",
-                  flush=True)
-            emit_record(ddpm_per_min)
+                                      rules, y, "ddpm1000 (TRUE full chain)",
+                                      steps_hint=1000)
+            if full_wall is not None:
+                state["full_measured_per_min"] = (geom.batch * 60.0
+                                                  / full_wall)
+                print(
+                    f"[bench {_elapsed():.0f}s] full-chain check: "
+                    f"measured={state['full_measured_per_min']:.4f}/min vs "
+                    f"extrapolated={ddpm_per_min:.4f}/min (ratio "
+                    f"{state['full_measured_per_min']/ddpm_per_min:.3f})",
+                    flush=True)
+                emit_record(ddpm_per_min)
     except Exception as e:
         print(f"[bench {_elapsed():.0f}s] full ddpm chain failed: {e!r}",
               flush=True)
