@@ -66,6 +66,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(REPO, ".jax_cache"))
 
 LIGHT_DECODER_NPZ = os.path.join(REPO, "assets", "scoring_decoder_ch64.npz")
+FEATURE_HEAD_NPZ = os.path.join(REPO, "assets", "scoring_features_ch64.npz")
 
 _T0 = time.perf_counter()
 _STAGE = {"name": "startup"}
@@ -162,6 +163,8 @@ class Geometry:
 
 
 def build(geom):
+    from dataclasses import replace
+
     from rule_guided_music_tpu.diffusion.sampling import (
         GuidanceConfig,
         SCGConfig,
@@ -256,18 +259,38 @@ def build(geom):
     variants["ddim100"] = make_sample_fn(
         tables=ddim_tables, sampler_config=ddim_config, **common)
 
-    # optional: the TRUE full DDPM-1000 chain (BENCH_FULL_DDPM=1)
+    # optional: the TRUE full DDPM-1000 chain (BENCH_FULL_DDPM=1),
+    # segmented into bounded dispatches: one ~6-min dispatch trips the
+    # remote-attachment RPC deadline (UNAVAILABLE device error, r3
+    # sessions 1-2 — the 48 s ddim100 dispatches never fault).  Segments
+    # carry x between dispatches and run the identical per-step program
+    # (sampling.py t_begin/t_stop; exactness pinned in
+    # tests/test_chain_segments.py).
     if os.environ.get("BENCH_FULL_DDPM") == "1":
-        full_tables = make_schedule("linear", 1000).tables()
+        if geom.tiny:
+            total, n_seg, t_start_full = 6, 2, 4
+            full_tables = make_schedule(
+                "linear", 1000, timestep_respacing=str(total)).tables()
+        else:
+            total = 1000
+            n_seg = int(os.environ.get("BENCH_FULL_SEGMENTS", "8"))
+            t_start_full = geom.full_guided
+            full_tables = make_schedule("linear", 1000).tables()
         full_config = SamplerConfig(
             sampler="ddpm",
             guidance=GuidanceConfig(method="classifier_guidance",
-                                    schedule=True, t_start=geom.full_guided,
+                                    schedule=True, t_start=t_start_full,
                                     t_end=0, interval=1),
             scg=SCGConfig(**scg_kwargs),
         )
-        variants["ddpm1000_full"] = make_sample_fn(
-            tables=full_tables, sampler_config=full_config, **common)
+        step_per = total // n_seg
+        bounds = [(total - i * step_per,
+                   total - (i + 1) * step_per if i < n_seg - 1 else 0)
+                  for i in range(n_seg)]
+        variants["ddpm1000_full_segments"] = [
+            make_sample_fn(tables=full_tables, sampler_config=full_config,
+                           t_begin=hi, t_stop=lo, **common)
+            for hi, lo in bounds]
 
     bundle = {
         "denoiser": params,
@@ -314,11 +337,61 @@ def build(geom):
                 scoring_vae_model=light, scoring_denoiser_model=rollout,
                 **common)
 
+    # opt-in rule-feature head (selection only): predicts rule features
+    # straight from x̂0 latents — the candidate decode disappears from the
+    # guided step (models/scoring_head.py; ~500x fewer ranking FLOPs).
+    feat_agreement = None
+    if os.environ.get("BENCH_FEAT", "1") == "1":
+        from rule_guided_music_tpu.models import RuleFeatureHead
+
+        feat_head = RuleFeatureHead(ch=16 if geom.tiny else 64,
+                                    depth=2 if geom.tiny else 4,
+                                    dtype=dtype)
+        if not geom.tiny and os.path.exists(FEATURE_HEAD_NPZ):
+            from rule_guided_music_tpu.utils.fixtures import unflatten_tree
+
+            data = np.load(FEATURE_HEAD_NPZ)
+            feat_agreement = float(data["agreement"])
+            bundle["scoring_features"] = unflatten_tree({
+                k: np.asarray(data[k], dtype=np.float32)
+                for k in data.files if k != "agreement"
+            })
+            print(f"rule-feature head loaded "
+                  f"(agreement={feat_agreement:.3f})", flush=True)
+        else:
+            bundle["scoring_features"] = _zeros_from_init(
+                feat_head.init, jax.random.PRNGKey(5),
+                jnp.zeros((1, 4, *geom.latent_hw)))
+        # no big decode left -> no need to serialize candidate groups; the
+        # full k*B rollout batch runs at the denoiser's best MFU
+        feat_scg = dict(scg_kwargs, decode_chunks=1)
+        feat_ddpm = replace(ddpm_config, scg=SCGConfig(**feat_scg))
+        feat_ddim = replace(ddim_config, scg=SCGConfig(**feat_scg))
+        variants["ddpm1000_feat"] = make_sample_fn(
+            tables=ddpm_tables, sampler_config=feat_ddpm,
+            scoring_feature_model=feat_head, **common)
+        variants["ddim100_feat"] = make_sample_fn(
+            tables=ddim_tables, sampler_config=feat_ddim,
+            scoring_feature_model=feat_head, **common)
+        if os.environ.get("BENCH_FEAT_ROLLOUT", "1") == "1":
+            feat_rollout = DiT_models["DiTRotary_B_8"](
+                input_size=geom.latent_hw, in_channels=4, num_classes=3,
+                learn_sigma=False, dtype=dtype,
+            )
+            if "scoring_denoiser" not in bundle:
+                bundle["scoring_denoiser"] = _zeros_from_init(
+                    feat_rollout.init, jax.random.PRNGKey(4), x0, t0, y0)
+            variants["ddim100_feat_rollout"] = make_sample_fn(
+                tables=ddim_tables, sampler_config=feat_ddim,
+                scoring_feature_model=feat_head,
+                scoring_denoiser_model=feat_rollout, **common)
+
     rules = geom.rules()
     y = jnp.ones((batch,), dtype=jnp.int32)
 
     denoiser_step = jax.jit(model.apply)
-    return variants, bundle, rules, y, denoiser_step, params, light_agreement
+    return (variants, bundle, rules, y, denoiser_step, params,
+            light_agreement, feat_agreement)
 
 
 def _report_memory(label):
@@ -410,7 +483,7 @@ def main():
     _start_heartbeat()
     _stage("importing package / building variants")
     (variants, bundle, rules, y, denoiser_step, params,
-     light_agreement) = build(geom)
+     light_agreement, feat_agreement) = build(geom)
 
     _stage("first device touch")
     jnp.zeros(()).block_until_ready()
@@ -424,6 +497,9 @@ def main():
         "light_per_min": None,
         "ddim_light_per_min": None,
         "ddim_light2_per_min": None,
+        "feat_per_min": None,
+        "ddim_feat_per_min": None,
+        "ddim_feat_rollout_per_min": None,
         "full_measured_per_min": None,
     }
 
@@ -449,6 +525,18 @@ def main():
             extras.append(
                 "ddim100_light_rollout="
                 f"{state['ddim_light2_per_min']:.3f}/min")
+        if state["feat_per_min"] is not None:
+            ag = (f" (agreement={feat_agreement:.3f})"
+                  if feat_agreement is not None else "")
+            extras.append(
+                f"feat_head={state['feat_per_min']:.3f}/min{ag}")
+        if state["ddim_feat_per_min"] is not None:
+            extras.append(
+                f"ddim100_feat={state['ddim_feat_per_min']:.3f}/min")
+        if state["ddim_feat_rollout_per_min"] is not None:
+            extras.append(
+                "ddim100_feat_rollout="
+                f"{state['ddim_feat_rollout_per_min']:.3f}/min")
         if state["full_measured_per_min"] is not None:
             extras.append("ddpm1000_measured_full="
                           f"{state['full_measured_per_min']:.3f}/min")
@@ -548,13 +636,70 @@ def main():
         print(f"[bench {_elapsed():.0f}s] light variants failed: {e!r}",
               flush=True)
 
-    # --- TRUE full DDPM-1000 chain (opt-in; ~10 min wall) ------------------
+    # --- rule-feature head variants ----------------------------------------
     try:
-        if "ddpm1000_full" in variants:
-            full_wall = _time_variant(variants["ddpm1000_full"], bundle,
-                                      rules, y, "ddpm1000 (TRUE full chain)",
-                                      steps_hint=1000)
-            if full_wall is not None:
+        if "ddpm1000_feat" in variants and remaining() > 90:
+            feat_wall = _time_variant(variants["ddpm1000_feat"], bundle,
+                                      rules, y, "ddpm1000+feat-head",
+                                      steps_hint=probe_steps)
+            if feat_wall is not None:
+                state["feat_per_min"] = geom.batch * 60.0 / (feat_wall
+                                                             * scale)
+                emit_record(ddpm_per_min)
+        if "ddim100_feat" in variants and remaining() > 90:
+            ddim_feat_wall = _time_variant(
+                variants["ddim100_feat"], bundle, rules, y,
+                "ddim100+feat-head", steps_hint=geom.ddim_steps)
+            if ddim_feat_wall is not None:
+                state["ddim_feat_per_min"] = (geom.batch * 60.0
+                                              / ddim_feat_wall)
+                emit_record(ddpm_per_min)
+        if "ddim100_feat_rollout" in variants and remaining() > 90:
+            fr_wall = _time_variant(
+                variants["ddim100_feat_rollout"], bundle, rules, y,
+                "ddim100+feat-head+light-rollout",
+                steps_hint=geom.ddim_steps)
+            if fr_wall is not None:
+                state["ddim_feat_rollout_per_min"] = (geom.batch * 60.0
+                                                      / fr_wall)
+                emit_record(ddpm_per_min)
+    except Exception as e:
+        print(f"[bench {_elapsed():.0f}s] feat variants failed: {e!r}",
+              flush=True)
+
+    # --- TRUE full DDPM-1000 chain (opt-in; ~10 min wall) ------------------
+    # Segmented into bounded dispatches (build()): a single ~6-min dispatch
+    # trips the remote-attachment RPC deadline. Wall = sum of per-segment
+    # walls, each synced through a host transfer.
+    try:
+        if "ddpm1000_full_segments" in variants:
+            segs = variants["ddpm1000_full_segments"]
+            _stage(f"compiling ddpm1000 TRUE full chain "
+                   f"({len(segs)} segments)")
+            x0_key, *seg_keys = jax.random.split(jax.random.PRNGKey(42),
+                                                 len(segs) + 1)
+            x_T = jax.random.normal(
+                x0_key, (geom.batch, 4, *geom.latent_hw))
+            # compile+first pass
+            t0 = time.perf_counter()
+            x = x_T
+            for i, (fn, kk) in enumerate(zip(segs, seg_keys)):
+                x = fn(kk, bundle, rules, y, noise=x)[0]
+                jax.block_until_ready(x)
+                print(f"[bench {_elapsed():.0f}s] segment {i} "
+                      f"compile+first done", flush=True)
+            print(f"[bench {_elapsed():.0f}s] full-chain compile+first: "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            _stage("timing ddpm1000 TRUE full chain")
+            t0 = time.perf_counter()
+            x = jax.random.normal(
+                jax.random.PRNGKey(43), (geom.batch, 4, *geom.latent_hw))
+            for fn, kk in zip(segs, seg_keys):
+                x = fn(jax.random.fold_in(kk, 1), bundle, rules, y,
+                       noise=x)[0]
+                _sync((x,))
+            full_wall = time.perf_counter() - t0
+            if full_wall > 1000 * 0.002:
                 state["full_measured_per_min"] = (geom.batch * 60.0
                                                   / full_wall)
                 print(

@@ -117,6 +117,7 @@ def _scg_select(
     t: jnp.ndarray,
     y: Optional[jnp.ndarray],
     scoring_model_fn: Optional[Callable] = None,
+    scoring_feature_fn: Optional[Callable] = None,
 ):
     """One SCG search step: sample k candidates, one-step rollout, score,
     argmax (gaussian_diffusion.py:491-592).
@@ -128,6 +129,11 @@ def _scg_select(
     selection-only substitution (reference semantics:
     gaussian_diffusion.py:518-524 uses one model for both, but only
     selection is throughput-critical).
+
+    ``scoring_feature_fn``: optional rule-feature head (models/scoring_head
+    .py): maps x̂0 latents directly to a {rule_name: feature} dict in the
+    FUNC_DICT output contract, skipping the candidate VAE decode entirely.
+    Selection-only like the other scoring substitutes.
     """
     scg = config.scg
     k = scg.num_samples
@@ -149,6 +155,8 @@ def _scg_select(
         x0 = gd.predict_xstart_from_eps(tables, flat_g, t_g, eps)
         if config.edit is not None:
             x0 = x0[:, :, config.edit.l_start:config.edit.l_end, :]
+        if scoring_feature_fn is not None:
+            return scoring_feature_fn(x0)        # {rule: (g, D)} — no decode
         if decode_fn is not None:
             x0 = decode_fn(x0)                               # (g, 3, 128, L)
         return x0
@@ -169,7 +177,8 @@ def _scg_select(
              jnp.zeros((n_chunks, g), dtype=jnp.int32)),
         )
         pred_xstart = jax.lax.map(rollout_and_decode, grouped)
-        pred_xstart = pred_xstart.reshape(k * b, *pred_xstart.shape[2:])
+        pred_xstart = jax.tree_util.tree_map(
+            lambda a: a.reshape(k * b, *a.shape[2:]), pred_xstart)
     else:
         pred_xstart = rollout_and_decode((flat, t_k, y_k))
 
@@ -178,7 +187,10 @@ def _scg_select(
     if scg.dc_base <= 0:
         total_log_prob = 0.0
         for rule_name, target in rules.items():
-            gen_rule = FUNC_DICT[rule_name](pred_xstart)
+            if scoring_feature_fn is not None:
+                gen_rule = pred_xstart[rule_name]
+            else:
+                gen_rule = FUNC_DICT[rule_name](pred_xstart)
             target_k = _tile(target, k)
             log_prob = -LOSS_DICT[rule_name](gen_rule, target_k)
             if config.record:
@@ -330,13 +342,31 @@ def sample_loop(
     edit_mask: Optional[jnp.ndarray] = None,
     noise: Optional[jnp.ndarray] = None,
     scoring_model_fn: Optional[Callable] = None,
+    scoring_feature_fn: Optional[Callable] = None,
+    t_begin: Optional[int] = None,
+    t_stop: Optional[int] = None,
 ):
     """Run the full reverse chain; returns (sample, record_dict).
 
     ``model_fn(x, model_t, y)`` is the (possibly CFG/DiffCollage-wrapped)
     denoiser closure. Everything is jit-compatible; wrap in jax.jit with this
     function closed over static config.
+
+    ``t_begin``/``t_stop`` (static ints) bound the scan to the segment of
+    steps [t_begin-1 .. t_stop]; pass the previous segment's output as
+    ``noise`` to continue a chain across multiple dispatches (resumable /
+    streaming sampling; also keeps any single device dispatch under RPC
+    deadlines on remote-attached accelerators).  Unlike ``config.t_end``
+    they do NOT change the noise/SCG boundary masks, so a segmented chain
+    runs the same per-step program as a contiguous one.
     """
+    if (scoring_feature_fn is not None and config.scg is not None
+            and config.scg.dc_base > 0):
+        raise ValueError(
+            "scoring_feature_fn is incompatible with windowed SCG selection "
+            "(scg.dc_base > 0): the feature head pools fixed 16-col windows; "
+            "use the decode path for DiffCollage windowed selection"
+        )
     rules = dict(rules or {})
     b = shape[0]
     num_steps = tables.num_timesteps
@@ -345,7 +375,7 @@ def sample_loop(
     rng, init_rng = jax.random.split(rng)
     if noise is not None:
         x_init = noise
-        start_t = num_steps - 1
+        start_t = (t_begin - 1) if t_begin is not None else num_steps - 1
     elif config.edit is not None:
         nl = config.edit.noise_level
         t0 = jnp.full((b,), nl - 1, dtype=jnp.int32)
@@ -358,7 +388,8 @@ def sample_loop(
         x_init = jax.random.normal(init_rng, shape)
         start_t = num_steps - 1
 
-    ts = jnp.arange(start_t, config.t_end - 1, -1)
+    scan_end = t_stop if t_stop is not None else config.t_end
+    ts = jnp.arange(start_t, scan_end - 1, -1)
 
     def step(carry, t_scalar):
         x, rng = carry
@@ -447,6 +478,7 @@ def sample_loop(
                     config, tables, model_fn, decode_fn, rules,
                     rng_, mean_, coeff_, t, y,
                     scoring_model_fn=scoring_model_fn,
+                    scoring_feature_fn=scoring_feature_fn,
                 )
                 return sel, rec
 

@@ -173,6 +173,101 @@ def build_classifier_bundles(
     return bundles
 
 
+@dataclass
+class ScoringBundle:
+    """Opt-in light-scoring levers for SCG candidate ranking, loaded from
+    the distill-script artifacts (docs/PERF.md).  All are SELECTION-ONLY:
+    the sampled trajectory and the final decode always use the full models
+    (reference semantics gaussian_diffusion.py:524,1347-1358).
+
+    ``model_kwargs`` feed ``make_sample_fn`` and ``params`` merges into its
+    params bundle, so CLIs stay thin:
+
+        scoring = ScoringBundle.create(features_path=..., ...)
+        generate = make_sample_fn(..., **scoring.model_kwargs)
+        bundle.update(scoring.params)
+    """
+
+    model_kwargs: Dict[str, Any]
+    params: Dict[str, Any]
+    agreements: Dict[str, float]
+
+    @classmethod
+    def create(
+        cls,
+        *,
+        decoder_path: str = "",
+        features_path: str = "",
+        rollout: str = "",
+        rollout_path: str = "",
+        input_size=(128, 16),
+        in_channels: int = 4,
+        num_classes: int = NUM_CLASSES,
+        learn_sigma: bool = False,
+        decoder_ch: int = 64,
+        feature_ch: int = 64,
+        feature_depth: int = 4,
+        dtype=jnp.bfloat16,
+    ) -> "ScoringBundle":
+        from .models import RuleFeatureHead, ScoringDecoder
+
+        model_kwargs: Dict[str, Any] = {}
+        params: Dict[str, Any] = {}
+        agreements: Dict[str, float] = {}
+        if decoder_path:
+            tree, meta = _load_scoring_npz(decoder_path)
+            model_kwargs["scoring_vae_model"] = ScoringDecoder(
+                ch=decoder_ch, dtype=dtype)
+            params["scoring_vae"] = tree
+            agreements["scoring_decoder"] = meta.get("agreement", float("nan"))
+            logger.log(f"light scoring decoder (ch={decoder_ch}) from "
+                       f"{decoder_path} "
+                       f"(distill agreement={agreements['scoring_decoder']:.3f})")
+        if features_path:
+            tree, meta = _load_scoring_npz(features_path)
+            model_kwargs["scoring_feature_model"] = RuleFeatureHead(
+                ch=feature_ch, depth=feature_depth, dtype=dtype)
+            params["scoring_features"] = tree
+            agreements["scoring_features"] = meta.get("agreement",
+                                                      float("nan"))
+            logger.log(f"rule-feature head (ch={feature_ch}) from "
+                       f"{features_path} "
+                       f"(distill agreement={agreements['scoring_features']:.3f})")
+        if rollout:
+            model = DiT_models[rollout](
+                input_size=tuple(input_size), in_channels=in_channels,
+                num_classes=num_classes, learn_sigma=learn_sigma,
+                dtype=dtype,
+            )
+            if not rollout_path:
+                raise ValueError(
+                    "scoring rollout model given without weights — pass "
+                    "rollout_path (scripts/distill_scoring_rollout.py output)")
+            tree, meta = _load_scoring_npz(rollout_path)
+            model_kwargs["scoring_denoiser_model"] = model
+            params["scoring_denoiser"] = tree
+            agreements["scoring_rollout"] = meta.get("agreement",
+                                                     float("nan"))
+            logger.log(f"light rollout denoiser {rollout} from "
+                       f"{rollout_path} "
+                       f"(distill agreement={agreements['scoring_rollout']:.3f})")
+        return cls(model_kwargs, params, agreements)
+
+
+def _load_scoring_npz(path: str):
+    """Distill-script artifact: flat '/'-keyed param tree + scalar metadata
+    (e.g. ``agreement``) in one npz."""
+    from .utils.fixtures import unflatten_tree
+
+    data = np.load(path)
+    meta = {k: float(data[k]) for k in data.files if "/" not in k}
+    tree = unflatten_tree({
+        k: np.asarray(data[k], dtype=np.float32)
+        for k in data.files if "/" in k
+    })
+    return tree, meta
+
+
 def resolve_given_targets(
     target_rules: Dict[str, Any], batch_size: int
 ) -> Dict[str, jnp.ndarray]:
@@ -268,6 +363,9 @@ def make_sample_fn(
     mesh=None,
     scoring_vae_model=None,
     scoring_denoiser_model=None,
+    scoring_feature_model=None,
+    t_begin=None,
+    t_stop=None,
 ):
     """Build a jitted ``generate(rng, params, rules, y[, edit])`` function.
 
@@ -315,6 +413,9 @@ def make_sample_fn(
             decoder_ch = scoring_vae_model.ch
             # decoder-only module: roughly half an AutoencoderKL
             param_count += vae_param_count(scoring_vae_model.ch) // 2
+        # with a rule-feature head the candidate decode disappears from the
+        # SCG loop entirely (head activations are negligible next to it)
+        scg_uses_decode = scoring_feature_model is None
         rollout_hidden = hidden
         if (scoring_denoiser_model is not None
                 and hasattr(scoring_denoiser_model, "hidden_size")):
@@ -328,9 +429,11 @@ def make_sample_fn(
             decode_chunks=scg.decode_chunks, param_count=param_count,
             hidden=rollout_hidden, decoder_ch=decoder_ch,
             compute_bytes=2 if denoiser_model.dtype == jnp.bfloat16 else 4,
+            use_decode=scg_uses_decode,
         )
 
-    def generate(rng, params, rules, y=None, edit_gt=None, edit_mask=None):
+    def generate(rng, params, rules, y=None, edit_gt=None, edit_mask=None,
+                 noise=None):
         def wrap_model(apply):
             fn = make_model_fn(
                 apply, num_classes=num_classes, class_cond=class_cond,
@@ -361,6 +464,20 @@ def make_sample_fn(
                 lambda x, t, yy: scoring_denoiser_model.apply(
                     params["scoring_denoiser"], x, t, yy
                 )
+            )
+
+        scoring_feature_fn = None
+        if scoring_feature_model is not None:
+            # opt-in rule-feature head: predicts FUNC_DICT-contract rule
+            # features straight from x̂0 latents, removing the candidate
+            # decode from SCG ranking entirely (selection only — the final
+            # decode and the trajectory stay full; models/scoring_head.py).
+            # Same operating point as make_decode_fn: input is
+            # x0 / scale_factor. Expects params["scoring_features"] from
+            # scripts/distill_scoring_features.py.
+            scoring_feature_fn = lambda z: scoring_feature_model.apply(
+                params["scoring_features"], z / scale_factor,
+                method=type(scoring_feature_model).features,
             )
 
         decode_fn = None
@@ -407,8 +524,10 @@ def make_sample_fn(
         return sample_loop(
             rng, model_fn, tuple(gen_shape), tables, sampler_config,
             y=y, rules=rules, cond_fn=cond_fn, decode_fn=decode_fn,
-            edit_gt=edit_gt, edit_mask=edit_mask,
+            edit_gt=edit_gt, edit_mask=edit_mask, noise=noise,
             scoring_model_fn=scoring_model_fn,
+            scoring_feature_fn=scoring_feature_fn,
+            t_begin=t_begin, t_stop=t_stop,
         )
 
     jitted = jax.jit(generate)
@@ -426,13 +545,14 @@ def make_sample_fn(
         )
 
     def generate_sharded(rng, params, rules, y=None, edit_gt=None,
-                         edit_mask=None):
+                         edit_mask=None, noise=None):
         params = jax.device_put(params, rep)
         rules = put_batch(rules) if rules else rules
         y = put_batch(y) if y is not None else None
         edit_gt = put_batch(edit_gt) if edit_gt is not None else None
         edit_mask = put_batch(edit_mask) if edit_mask is not None else None
-        return jitted(rng, params, rules, y, edit_gt, edit_mask)
+        noise = put_batch(noise) if noise is not None else None
+        return jitted(rng, params, rules, y, edit_gt, edit_mask, noise)
 
     return generate_sharded
 

@@ -5,16 +5,22 @@ Distills, against the committed learned quality fixture
 scripts/make_quality_fixture.py):
 
   * a ch=16 ScoringDecoder matching the fixture VAE's decode at the
-    deployment operating point (x0 / scale_factor inputs), and
-  * a tiny DiTRotary rollout student matching the fixture denoiser's x̂0.
+    deployment operating point (x0 / scale_factor inputs),
+  * a tiny DiTRotary rollout student matching the fixture denoiser's x̂0,
+  * a ch=16 RuleFeatureHead predicting the fixture VAE's decode+FUNC_DICT
+    rule features straight from latents (teacher features precomputed once
+    on a fixed corpus, then trained for many cheap epochs).
 
-Saves both as tests/fixtures/light_gate_tiny.npz so the quality-gate test
-(SCG full-vs-light ranking: final rule loss margin + selected-candidate
-regret) runs chains only — no distillation in the test.
+Saves all three as tests/fixtures/light_gate_tiny.npz so the quality-gate
+test (SCG full-vs-light ranking: final rule loss margin + selected-
+candidate regret) runs chains only — no distillation in the test.
 
 Run: env -u PYTHONPATH JAX_PLATFORMS=cpu python scripts/make_light_gate_fixtures.py
+(--only decoder|rollout|feathead re-distills one part, merging into the
+existing npz.)
 """
 
+import argparse
 import os
 import sys
 import time
@@ -27,8 +33,15 @@ import numpy as np
 import optax
 
 from rule_guided_music_tpu.diffusion import gaussian as gd
+from rule_guided_music_tpu.diffusion.latent import make_decode_fn
 from rule_guided_music_tpu.diffusion.schedule import make_schedule
-from rule_guided_music_tpu.models import AutoencoderKL, DiT_models, ScoringDecoder
+from rule_guided_music_tpu.models import (
+    AutoencoderKL,
+    DiT_models,
+    RuleFeatureHead,
+    ScoringDecoder,
+)
+from rule_guided_music_tpu.rules.registry import FUNC_DICT
 from rule_guided_music_tpu.utils.fixtures import flatten_tree, load_fixture_npz
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -36,10 +49,18 @@ FIXTURE = os.path.join(REPO, "tests", "fixtures", "quality_tiny.npz")
 OUT = os.path.join(REPO, "tests", "fixtures", "light_gate_tiny.npz")
 
 DECODER_STEPS = int(os.environ.get("GATE_DECODER_STEPS", "300"))
-ROLLOUT_STEPS = int(os.environ.get("GATE_ROLLOUT_STEPS", "400"))
+ROLLOUT_STEPS = int(os.environ.get("GATE_ROLLOUT_STEPS", "800"))
+FEAT_STEPS = int(os.environ.get("GATE_FEAT_STEPS", "1200"))
+FEAT_CORPUS = int(os.environ.get("GATE_FEAT_CORPUS", "128"))
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--only", default="all",
+                        choices=["all", "decoder", "rollout", "feathead"])
+    args = parser.parse_args()
+    parts = (["decoder", "rollout", "feathead"] if args.only == "all"
+             else [args.only])
     fx = load_fixture_npz(FIXTURE)
     scale = fx["scale"]
     vae = AutoencoderKL(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1)
@@ -49,73 +70,180 @@ def main():
     )
     tables = make_schedule("linear", 1000, timestep_respacing="16").tables()
 
+    # Realistic latent pool — the SAME distribution the students see in
+    # deployment.  The round-3 session-1 fixture distilled on pure-noise
+    # "clean data"; the rollout student then collapsed at the learned
+    # model's actual states (rollout-ranked SCG measured WORSE than no
+    # guidance, 17.4 vs 7.2 on the gate).  The teacher DiT was trained on
+    # encode(make_rolls) latents (scripts/make_quality_fixture.py), so
+    # distill there too.
+    from rule_guided_music_tpu.diffusion.latent import make_encode_fn
+    from rule_guided_music_tpu.utils.fixtures import make_rolls
+
+    encode = jax.jit(make_encode_fn(
+        lambda x: vae.apply(fx["vae"], x,
+                            method=AutoencoderKL.encode_moments),
+        scale_factor=scale))
+    lat = np.asarray(jnp.concatenate(
+        [encode(jnp.asarray(make_rolls(16, seed=s))) for s in (0, 7)]))
+    print(f"latent pool: {lat.shape} std {lat.std():.3f}", flush=True)
+
+    trees = {}
+
     # --- light decoder (ch=16) ------------------------------------------------
-    light = ScoringDecoder(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=1)
-    lp = light.init(jax.random.PRNGKey(3), jnp.zeros((1, 4, 16, 16)))
-    teacher_dec = jax.jit(
-        lambda z: vae.apply(fx["vae"], z, method=AutoencoderKL.decode))
-    opt = optax.adam(2e-3)
-    ost = opt.init(lp)
+    if "decoder" in parts:
+        light = ScoringDecoder(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=1)
+        lp = light.init(jax.random.PRNGKey(3), jnp.zeros((1, 4, 16, 16)))
+        teacher_dec = jax.jit(
+            lambda z: vae.apply(fx["vae"], z, method=AutoencoderKL.decode))
+        opt = optax.adam(2e-3)
+        ost = opt.init(lp)
 
-    def dec_loss(p, z, tgt):
-        return jnp.abs(
-            light.apply(p, z, method=ScoringDecoder.decode) - tgt).mean()
+        def dec_loss(p, z, tgt):
+            return jnp.abs(
+                light.apply(p, z, method=ScoringDecoder.decode) - tgt).mean()
 
-    @jax.jit
-    def dec_step(p, s, z, tgt):
-        l, g = jax.value_and_grad(dec_loss)(p, z, tgt)
-        u, s = opt.update(g, s)
-        return optax.apply_updates(p, u), s, l
+        @jax.jit
+        def dec_step(p, s, z, tgt):
+            l, g = jax.value_and_grad(dec_loss)(p, z, tgt)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, l
 
-    rng = jax.random.PRNGKey(0)
-    t0 = time.perf_counter()
-    for i in range(DECODER_STEPS):
-        rng, sub = jax.random.split(rng)
-        z = jax.random.normal(sub, (16, 4, 16, 16)) / scale
-        lp, ost, l = dec_step(lp, ost, z, teacher_dec(z))
-        if i % 50 == 0:
-            print(f"decoder distill {i}: L1 {float(l):.4f} "
-                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
+        rng = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        for i in range(DECODER_STEPS):
+            rng, sub = jax.random.split(rng)
+            z = jax.random.normal(sub, (16, 4, 16, 16)) / scale
+            lp, ost, l = dec_step(lp, ost, z, teacher_dec(z))
+            if i % 50 == 0:
+                print(f"decoder distill {i}: L1 {float(l):.4f} "
+                      f"({time.perf_counter()-t0:.0f}s)", flush=True)
+        trees["decoder/"] = lp
 
     # --- rollout student (fresh XS, same arch as the fixture teacher) --------
-    student = DiT_models["DiTRotary_XS_8"](
-        input_size=(128, 16), in_channels=4, num_classes=0,
-        learn_sigma=False,
-    )
-    sp = student.init(jax.random.PRNGKey(5), jnp.zeros((1, 4, 128, 16)),
-                      jnp.zeros((1,)))
-    teacher_fwd = jax.jit(lambda p, x, t: dit.apply(p, x, t))
-    opt2 = optax.adam(1e-3)
-    ost2 = opt2.init(sp)
+    if "rollout" in parts:
+        student = DiT_models["DiTRotary_XS_8"](
+            input_size=(128, 16), in_channels=4, num_classes=0,
+            learn_sigma=False,
+        )
+        sp = student.init(jax.random.PRNGKey(5), jnp.zeros((1, 4, 128, 16)),
+                          jnp.zeros((1,)))
+        teacher_fwd = jax.jit(lambda p, x, t: dit.apply(p, x, t))
+        opt2 = optax.adam(1e-3)
+        ost2 = opt2.init(sp)
 
-    def x0_from(eps, x_t, t):
-        return gd.predict_xstart_from_eps(tables, x_t, t, eps)
+        def x0_from(eps, x_t, t):
+            return gd.predict_xstart_from_eps(tables, x_t, t, eps)
 
-    def roll_loss(p, x_t, t, target_x0):
-        pred = x0_from(student.apply(p, x_t, tables.model_t[t]), x_t, t)
-        return ((pred - target_x0) ** 2).mean()
+        def roll_loss(p, x_t, t, target_x0):
+            pred = x0_from(student.apply(p, x_t, tables.model_t[t]), x_t, t)
+            return ((pred - target_x0) ** 2).mean()
 
-    @jax.jit
-    def roll_step(p, s, x_t, t, target_x0):
-        l, g = jax.value_and_grad(roll_loss)(p, x_t, t, target_x0)
-        u, s = opt2.update(g, s)
-        return optax.apply_updates(p, u), s, l
+        @jax.jit
+        def roll_step(p, s, x_t, t, target_x0):
+            l, g = jax.value_and_grad(roll_loss)(p, x_t, t, target_x0)
+            u, s = opt2.update(g, s)
+            return optax.apply_updates(p, u), s, l
 
-    t0 = time.perf_counter()
-    for i in range(ROLLOUT_STEPS):
-        rng, r1, r2, r3 = jax.random.split(rng, 4)
-        x = jax.random.normal(r1, (16, 4, 128, 16))
-        t = jax.random.randint(r2, (16,), 0, tables.num_timesteps)
-        x_t = gd.q_sample(tables, x, t, jax.random.normal(r3, x.shape))
-        target = x0_from(teacher_fwd(fx["dit"], x_t, tables.model_t[t]),
-                         x_t, t)
-        sp, ost2, l = roll_step(sp, ost2, x_t, t, target)
-        if i % 50 == 0:
-            print(f"rollout distill {i}: x0-MSE {float(l):.5f} "
-                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
+        rng = jax.random.PRNGKey(1)
+        np_rng2 = np.random.default_rng(11)
+        t0 = time.perf_counter()
+        for i in range(ROLLOUT_STEPS):
+            rng, r2, r3 = jax.random.split(rng, 3)
+            x = jnp.asarray(lat[np_rng2.integers(0, len(lat), size=16)])
+            t = jax.random.randint(r2, (16,), 0, tables.num_timesteps)
+            x_t = gd.q_sample(tables, x, t, jax.random.normal(r3, x.shape))
+            target = x0_from(teacher_fwd(fx["dit"], x_t, tables.model_t[t]),
+                             x_t, t)
+            sp, ost2, l = roll_step(sp, ost2, x_t, t, target)
+            if i % 50 == 0:
+                print(f"rollout distill {i}: x0-MSE {float(l):.5f} "
+                      f"({time.perf_counter()-t0:.0f}s)", flush=True)
+        trees["rollout/"] = sp
+
+    # --- rule-feature head (ch=16) -------------------------------------------
+    # Teacher features (fixture-VAE decode -> FUNC_DICT) are precomputed
+    # once on a fixed latent corpus; the cheap head then trains for many
+    # epochs over it. Head input = x0 / scale (deployment operating point,
+    # matching pipeline.make_sample_fn's z / scale_factor).
+    if "feathead" in parts:
+        head = RuleFeatureHead(ch=16, depth=2)
+        hp = head.init(jax.random.PRNGKey(7), jnp.zeros((1, 4, 128, 16)))
+        decode_long = make_decode_fn(
+            lambda c: vae.apply(fx["vae"], c, method=AutoencoderKL.decode))
+        rules = ("pitch_hist", "note_density", "chord_progression")
+
+        @jax.jit
+        def teacher_feats(u):
+            roll = decode_long(u)
+            return {name: FUNC_DICT[name](roll) for name in rules}
+
+        # Corpus = what the head actually sees at guided steps: teacher
+        # x̂0 predictions on noised realistic latents across the respaced
+        # chain, plus the clean latents themselves (the t→0 limit) — all at
+        # the deployment operating point x̂0/scale.
+        teacher_x0 = jax.jit(lambda x_t, t: gd.predict_xstart_from_eps(
+            tables, x_t, t,
+            dit.apply(fx["dit"], x_t, tables.model_t[t])))
+        rng = jax.random.PRNGKey(2)
+        u_parts = [jnp.asarray(lat)]
+        np_rng3 = np.random.default_rng(12)
+        while sum(p.shape[0] for p in u_parts) < FEAT_CORPUS:
+            rng, r1, r2 = jax.random.split(rng, 3)
+            x = jnp.asarray(lat[np_rng3.integers(0, len(lat), size=8)])
+            t = jax.random.randint(r1, (8,), 0, tables.num_timesteps)
+            x_t = gd.q_sample(tables, x, t, jax.random.normal(r2, x.shape))
+            u_parts.append(teacher_x0(x_t, t))
+        corpus_u = (jnp.concatenate(u_parts)[:FEAT_CORPUS] / scale)
+        t0 = time.perf_counter()
+        feats_list = []
+        for i in range(0, FEAT_CORPUS, 8):
+            feats_list.append(
+                jax.device_get(teacher_feats(corpus_u[i:i + 8])))
+        corpus_feats = {
+            k: np.concatenate([f[k] for f in feats_list])
+            for k in feats_list[0]
+        }
+        print(f"feathead teacher corpus ({FEAT_CORPUS} excerpts): "
+              f"{time.perf_counter()-t0:.0f}s", flush=True)
+
+        opt3 = optax.adam(optax.cosine_decay_schedule(2e-3, FEAT_STEPS))
+        ost3 = opt3.init(hp)
+
+        def feat_loss(p, u, tgt):
+            out = head.apply(p, u)
+            ph = ((out["pitch_hist"] - tgt["pitch_hist"]) ** 2).mean()
+            nd = ((out["note_density"] - tgt["note_density"]) ** 2).mean()
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                out["chord_logits"], tgt["chord_progression"]).mean()
+            return 40.0 * ph + nd + ce
+
+        @jax.jit
+        def feat_step(p, s, u, tgt):
+            l, g = jax.value_and_grad(feat_loss)(p, u, tgt)
+            up, s = opt3.update(g, s)
+            return optax.apply_updates(p, up), s, l
+
+        corpus_u = np.asarray(corpus_u)
+        t0 = time.perf_counter()
+        np_rng = np.random.default_rng(0)
+        for i in range(FEAT_STEPS):
+            idx = np_rng.choice(FEAT_CORPUS, 16, replace=False)
+            tgt = {k: jnp.asarray(v[idx]) for k, v in corpus_feats.items()}
+            hp, ost3, l = feat_step(hp, ost3, jnp.asarray(corpus_u[idx]),
+                                    tgt)
+            if i % 100 == 0:
+                print(f"feathead distill {i}: loss {float(l):.4f} "
+                      f"({time.perf_counter()-t0:.0f}s)", flush=True)
+        trees["feathead/"] = hp
 
     flat = {}
-    for prefix, tree in [("decoder/", lp), ("rollout/", sp)]:
+    if os.path.exists(OUT) and args.only != "all":
+        existing = np.load(OUT)
+        done_prefixes = tuple(trees.keys())
+        flat = {k: existing[k] for k in existing.files
+                if not k.startswith(done_prefixes)}
+    for prefix, tree in trees.items():
         for k, v in flatten_tree(jax.device_get(tree)).items():
             flat[prefix + k] = v
     np.savez_compressed(OUT, **flat)

@@ -37,7 +37,12 @@ from rule_guided_music_tpu.diffusion.sampling import (
     sample_loop,
 )
 from rule_guided_music_tpu.diffusion.schedule import make_schedule
-from rule_guided_music_tpu.models import AutoencoderKL, DiT_models, ScoringDecoder
+from rule_guided_music_tpu.models import (
+    AutoencoderKL,
+    DiT_models,
+    RuleFeatureHead,
+    ScoringDecoder,
+)
 from rule_guided_music_tpu.rules.registry import FUNC_DICT
 from rule_guided_music_tpu.utils.fixtures import (
     load_fixture_npz,
@@ -68,13 +73,15 @@ def _load_gate():
            if k.startswith("decoder/")}
     roll = {k[len("rollout/"):]: data[k] for k in data.files
             if k.startswith("rollout/")}
-    return unflatten_tree(dec), unflatten_tree(roll)
+    feat = {k[len("feathead/"):]: data[k] for k in data.files
+            if k.startswith("feathead/")}
+    return unflatten_tree(dec), unflatten_tree(roll), unflatten_tree(feat)
 
 
 @pytest.fixture(scope="module")
 def gate():
     fx = load_fixture_npz(QUALITY)
-    light_dec_params, rollout_params = _load_gate()
+    light_dec_params, rollout_params, feat_params = _load_gate()
     scale = fx["scale"]
 
     vae = AutoencoderKL(ch=32, ch_mult=(1, 1, 2, 2), num_res_blocks=1)
@@ -98,6 +105,12 @@ def gate():
         scale_factor=scale)
     model_fn = lambda x, t, y=None: dit.apply(fx["dit"], x, t)
     rollout_fn = lambda x, t, y=None: dit.apply(rollout_params, x, t)
+    # rule-feature head: sample_loop hands it raw x̂0; the deployment
+    # operating point is x0 / scale (pipeline.make_sample_fn divides by
+    # scale_factor before apply — mirror that here).
+    head = RuleFeatureHead(ch=16, depth=2)
+    feature_fn = lambda z: head.apply(feat_params, z / scale,
+                                      method=RuleFeatureHead.features)
 
     # in-distribution target (same protocol as test_quality_regression)
     train = jnp.asarray(make_rolls(8, seed=21))
@@ -115,11 +128,13 @@ def gate():
         scg=SCGConfig(num_samples=K, weights=(("note_density", 1.0),)),
     )
 
-    def make_run(decode_fn=None, scoring_model_fn=None, plain=False):
+    def make_run(decode_fn=None, scoring_model_fn=None,
+                 scoring_feature_fn=None, plain=False):
         cfg = cfg_plain if plain else cfg_scg
         return jax.jit(lambda r: sample_loop(
             r, model_fn, SHAPE, tables, cfg, rules=rules,
-            decode_fn=decode_fn, scoring_model_fn=scoring_model_fn)[0])
+            decode_fn=decode_fn, scoring_model_fn=scoring_model_fn,
+            scoring_feature_fn=scoring_feature_fn)[0])
 
     runs = {
         "plain": make_run(plain=True),
@@ -129,6 +144,9 @@ def gate():
                                scoring_model_fn=rollout_fn),
         "light_both": make_run(decode_fn=light_decode,
                                scoring_model_fn=rollout_fn),
+        "feat": make_run(scoring_feature_fn=feature_fn),
+        "feat_roll": make_run(scoring_feature_fn=feature_fn,
+                              scoring_model_fn=rollout_fn),
     }
     losses = {}
     for name, run in runs.items():
@@ -139,7 +157,7 @@ def gate():
         losses[name] = total
     return dict(losses=losses, fx=fx, tables=tables, decode=decode,
                 light_decode=light_decode, encode=encode, model_fn=model_fn,
-                rollout_fn=rollout_fn, target=target)
+                rollout_fn=rollout_fn, feature_fn=feature_fn, target=target)
 
 
 def test_full_scg_beats_no_guidance(gate):
@@ -168,6 +186,22 @@ def test_combined_light_gate(gate):
     assert losses["light_both"] < 2.0 * losses["full"], losses
 
 
+def test_feature_head_gate(gate):
+    """Rule-feature head ranking (no candidate decode at all) must pass the
+    same PERF.md thresholds as the other light-scoring substitutes."""
+    losses = gate["losses"]
+    assert losses["feat"] < 0.8 * losses["plain"], losses
+    assert losses["feat"] < 1.6 * losses["full"], losses
+
+
+def test_feature_head_with_rollout_gate(gate):
+    """Feature head + light rollout stacked (the 'ddim100_feat_rollout'
+    bench config's quality analog) must still clearly beat no guidance."""
+    losses = gate["losses"]
+    assert losses["feat_roll"] < 0.8 * losses["plain"], losses
+    assert losses["feat_roll"] < 2.0 * losses["full"], losses
+
+
 def test_selected_candidate_regret(gate):
     """Regret of light-decoder ranking vs full ranking, measured on
     candidate sets from the learned model's own posterior at guided steps,
@@ -178,6 +212,8 @@ def test_selected_candidate_regret(gate):
     light_decode = gate["light_decode"]
     target = gate["target"]
     gt = gate["encode"](jnp.asarray(make_rolls(SHAPE[0], seed=33)))
+
+    feature_fn = gate["feature_fn"]
 
     @jax.jit
     def cand_losses(x_t, t, noise):
@@ -191,26 +227,32 @@ def test_selected_candidate_regret(gate):
         x0_c = gd.predict_xstart_from_eps(tables, flat, t_k, eps_c)
         tgt = jnp.concatenate([target] * K, axis=0)
         out = []
-        for dec in (decode, light_decode):
-            nd = FUNC_DICT["note_density"](dec(x0_c))
+        for nd_of in (
+            lambda z: FUNC_DICT["note_density"](decode(z)),
+            lambda z: FUNC_DICT["note_density"](light_decode(z)),
+            lambda z: feature_fn(z)["note_density"],
+        ):
+            nd = nd_of(x0_c)
             out.append(((nd - tgt) ** 2).mean(-1).reshape(K, -1))
-        return out[0], out[1]
+        return tuple(out)
 
-    regrets, spreads = [], []
+    regrets = {"light_dec": [], "feat": []}
+    spreads = []
     for i, t_scalar in enumerate((2, 5, 8, 11, 14)):
         t = jnp.full((SHAPE[0],), t_scalar, dtype=jnp.int32)
         key = jax.random.PRNGKey(100 + i)
         k1, k2 = jax.random.split(key)
         x_t = gd.q_sample(tables, gt, t, jax.random.normal(k1, gt.shape))
         noise = jax.random.normal(k2, (K,) + gt.shape)
-        lf, ll = cand_losses(x_t, t, noise)
-        lf, ll = np.asarray(lf), np.asarray(ll)
+        lf, ll, lh = (np.asarray(a) for a in cand_losses(x_t, t, noise))
         for b in range(SHAPE[0]):
-            choice = ll[:, b].argmin()
-            regrets.append(lf[choice, b] - lf[:, b].min())
+            for name, lm in (("light_dec", ll), ("feat", lh)):
+                choice = lm[:, b].argmin()
+                regrets[name].append(lf[choice, b] - lf[:, b].min())
             spreads.append(lf[:, b].max() - lf[:, b].min())
-    norm_regret = float(np.mean(regrets) / (np.mean(spreads) + 1e-12))
     # 0 = always picks the full ranker's best; 1 ~ picking the worst.
     # Chance level for a random pick is ~0.5 of the spread.
-    assert norm_regret < 0.35, (norm_regret, np.mean(regrets),
-                                np.mean(spreads))
+    for name, r in regrets.items():
+        norm_regret = float(np.mean(r) / (np.mean(spreads) + 1e-12))
+        assert norm_regret < 0.35, (name, norm_regret, np.mean(r),
+                                    np.mean(spreads))
