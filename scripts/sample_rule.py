@@ -165,7 +165,21 @@ def main():
         "vae": vae.params if vae else None,
         "classifiers": tuple(classifier_params),
     }
-    generate = pipeline.make_sample_fn(
+    # opt-in light-scoring levers (selection-only; docs/PERF.md): distilled
+    # decoder / rule-feature head / rollout student rank SCG candidates,
+    # final decode + trajectory stay full
+    scoring = pipeline.ScoringBundle.create(
+        decoder_path=args.scoring_decoder_path,
+        features_path=args.scoring_features_path,
+        rollout=args.scoring_rollout,
+        rollout_path=args.scoring_rollout_path,
+        input_size=args.image_size,
+        in_channels=args.in_channels,
+        num_classes=args.num_classes,
+        learn_sigma=args.learn_sigma,
+    )
+    params_bundle.update(scoring.params)
+    sample_fn_kwargs = dict(
         denoiser_model=denoiser.model,
         tables=tables,
         sampler_config=sampler_config,
@@ -181,7 +195,18 @@ def main():
         w=args.w,
         collage=collage,
         mesh=_make_mesh_from_arg(args.mesh),
+        **scoring.model_kwargs,
     )
+    generate = pipeline.make_sample_fn(**sample_fn_kwargs)
+    if args.segments > 1:
+        # segmented (streaming/resumable) chain: N bounded dispatches with
+        # carried state, same per-step program as the contiguous chain
+        # (diffusion/sampling.py t_begin/t_stop; tests/test_chain_segments.py)
+        if args.record:
+            raise ValueError("--record with --segments > 1 is unsupported "
+                             "(per-step records span dispatch boundaries)")
+        generate = _make_segmented_generate(
+            sample_fn_kwargs, tables.num_timesteps, args.segments, gen_shape)
     decode_rolls = (pipeline.make_decode_rolls_fn(vae.model, args.scale_factor)
                     if vae else None)
 
@@ -243,6 +268,32 @@ def main():
     logger.log("sampling complete")
 
 
+def _make_segmented_generate(sample_fn_kwargs, num_steps, n_seg, gen_shape):
+    """N bounded dispatches covering [num_steps..0), carrying x between
+    them — keeps any single device dispatch short (remote-attachment RPC
+    deadlines) and streams progress."""
+    step_per = max(1, num_steps // n_seg)
+    bounds = []
+    hi = num_steps
+    while hi > 0:
+        lo = max(0, hi - step_per) if len(bounds) < n_seg - 1 else 0
+        bounds.append((hi, lo))
+        hi = lo
+    fns = [pipeline.make_sample_fn(t_begin=h, t_stop=l, **sample_fn_kwargs)
+           for h, l in bounds]
+
+    def generate(rng, params_bundle, rules, y):
+        keys = jax.random.split(rng, len(fns) + 1)
+        x = jax.random.normal(keys[0], gen_shape)
+        records = None
+        for fn, kk, (h, l) in zip(fns, keys[1:], bounds):
+            x, records = fn(kk, params_bundle, rules, y, noise=x)
+            logger.log(f"  segment t=[{h}..{l}) done")
+        return x, records
+
+    return generate
+
+
 def _make_mesh_from_arg(spec: str):
     """'dp[,fsdp[,tp]]' -> parallel.make_mesh; '' / unset -> None."""
     if not spec:
@@ -284,6 +335,13 @@ def create_argparser():
         seed=0,
         # multi-chip: 'dp[,fsdp[,tp]]' mesh over jax.devices(); '' = single
         mesh="",
+        # light-scoring levers (selection-only SCG ranking; docs/PERF.md)
+        scoring_decoder_path="",
+        scoring_features_path="",
+        scoring_rollout="",
+        scoring_rollout_path="",
+        # >1: run the chain as N bounded dispatches (streaming/resumable)
+        segments=0,
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()
