@@ -694,10 +694,13 @@ def main():
             t0 = time.perf_counter()
             x = jax.random.normal(
                 jax.random.PRNGKey(43), (geom.batch, 4, *geom.latent_hw))
-            for fn, kk in zip(segs, seg_keys):
+            for i, (fn, kk) in enumerate(zip(segs, seg_keys)):
+                ts = time.perf_counter()
                 x = fn(jax.random.fold_in(kk, 1), bundle, rules, y,
                        noise=x)[0]
                 _sync((x,))
+                print(f"[bench {_elapsed():.0f}s] segment {i} timed: "
+                      f"{time.perf_counter() - ts:.1f}s", flush=True)
             full_wall = time.perf_counter() - t0
             if full_wall > 1000 * 0.002:
                 state["full_measured_per_min"] = (geom.batch * 60.0
