@@ -385,6 +385,27 @@ def build(geom):
                 tables=ddim_tables, sampler_config=feat_ddim,
                 scoring_feature_model=feat_head,
                 scoring_denoiser_model=feat_rollout, **common)
+            if os.environ.get("BENCH_REUSE", "1") == "1":
+                # cross-step trajectory-output reuse stacked on the fastest
+                # config (SamplerConfig.reuse_interval; quality-gated
+                # approximation — tests/test_reuse.py, docs/PERF.md)
+                variants["ddim100_feat_rollout_reuse2"] = make_sample_fn(
+                    tables=ddim_tables,
+                    sampler_config=replace(feat_ddim, reuse_interval=2),
+                    scoring_feature_model=feat_head,
+                    scoring_denoiser_model=feat_rollout, **common)
+
+    # unguided class-conditional sampling (BASELINE config #1 serving path)
+    # with and without trajectory reuse — the lever's clean A/B
+    if os.environ.get("BENCH_REUSE", "1") == "1":
+        ucfg = SamplerConfig(sampler="ddim", eta=1.0)
+        variants["unguided_ddim"] = make_sample_fn(
+            tables=ddim_tables, sampler_config=ucfg,
+            **dict(common, use_decode=False))
+        variants["unguided_ddim_reuse2"] = make_sample_fn(
+            tables=ddim_tables,
+            sampler_config=replace(ucfg, reuse_interval=2),
+            **dict(common, use_decode=False))
 
     rules = geom.rules()
     y = jnp.ones((batch,), dtype=jnp.int32)
@@ -500,6 +521,9 @@ def main():
         "feat_per_min": None,
         "ddim_feat_per_min": None,
         "ddim_feat_rollout_per_min": None,
+        "ddim_feat_rollout_reuse_per_min": None,
+        "unguided_per_min": None,
+        "unguided_reuse_per_min": None,
         "full_measured_per_min": None,
     }
 
@@ -537,6 +561,17 @@ def main():
             extras.append(
                 "ddim100_feat_rollout="
                 f"{state['ddim_feat_rollout_per_min']:.3f}/min")
+        if state["ddim_feat_rollout_reuse_per_min"] is not None:
+            extras.append(
+                "ddim100_feat_rollout_reuse2="
+                f"{state['ddim_feat_rollout_reuse_per_min']:.3f}/min")
+        if state["unguided_per_min"] is not None:
+            extras.append(
+                f"unguided_ddim100={state['unguided_per_min']:.1f}/min")
+        if state["unguided_reuse_per_min"] is not None:
+            extras.append(
+                "unguided_ddim100_reuse2="
+                f"{state['unguided_reuse_per_min']:.1f}/min")
         if state["full_measured_per_min"] is not None:
             extras.append("ddpm1000_measured_full="
                           f"{state['full_measured_per_min']:.3f}/min")
@@ -663,8 +698,38 @@ def main():
                 state["ddim_feat_rollout_per_min"] = (geom.batch * 60.0
                                                       / fr_wall)
                 emit_record(ddpm_per_min)
+        if "ddim100_feat_rollout_reuse2" in variants and remaining() > 90:
+            frr_wall = _time_variant(
+                variants["ddim100_feat_rollout_reuse2"], bundle, rules, y,
+                "ddim100+feat-head+light-rollout+reuse2",
+                steps_hint=geom.ddim_steps // 2)
+            if frr_wall is not None:
+                state["ddim_feat_rollout_reuse_per_min"] = (
+                    geom.batch * 60.0 / frr_wall)
+                emit_record(ddpm_per_min)
     except Exception as e:
         print(f"[bench {_elapsed():.0f}s] feat variants failed: {e!r}",
+              flush=True)
+
+    # --- unguided serving path, reuse A/B -----------------------------------
+    try:
+        if "unguided_ddim" in variants and remaining() > 60:
+            uw = _time_variant(variants["unguided_ddim"], bundle, rules, y,
+                               "unguided ddim100",
+                               steps_hint=geom.ddim_steps)
+            if uw is not None:
+                state["unguided_per_min"] = geom.batch * 60.0 / uw
+                emit_record(ddpm_per_min)
+        if "unguided_ddim_reuse2" in variants and remaining() > 60:
+            uwr = _time_variant(
+                variants["unguided_ddim_reuse2"], bundle, rules, y,
+                "unguided ddim100 + reuse2",
+                steps_hint=geom.ddim_steps // 2)
+            if uwr is not None:
+                state["unguided_reuse_per_min"] = geom.batch * 60.0 / uwr
+                emit_record(ddpm_per_min)
+    except Exception as e:
+        print(f"[bench {_elapsed():.0f}s] unguided variants failed: {e!r}",
               flush=True)
 
     # --- TRUE full DDPM-1000 chain (opt-in; ~10 min wall) ------------------

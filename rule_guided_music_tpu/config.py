@@ -169,6 +169,10 @@ def sampler_config_from_yaml(
                   else gd.ModelVarType.FIXED_LARGE),
         clip_denoised=False,
         t_end=int(_ns_get(sampling_ns, "t_end", 0)),
+        # beyond-reference: cross-step trajectory-output reuse
+        # (sampling.reuse_interval in the YAML; 0/1 = off; docs/PERF.md)
+        reuse_interval=int(_ns_get(sampling_ns, "reuse_interval", 0) or 0),
+        reuse_t_max=int(_ns_get(sampling_ns, "reuse_t_max", -1)),
         guidance=guidance,
         scg=scg,
         edit=edit,

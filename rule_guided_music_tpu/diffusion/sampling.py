@@ -81,6 +81,25 @@ class SamplerConfig:
     guidance: Optional[GuidanceConfig] = None
     scg: Optional[SCGConfig] = None
     edit: Optional[EditConfig] = None
+    # Cross-step model-output reuse (SmoothCache/FORA-family accelerator,
+    # PAPERS.md arXiv 2411.10510): recompute the TRAJECTORY denoiser output
+    # only every `reuse_interval` steps and reuse the cached output on the
+    # steps in between (eps varies slowly along the chain). 0/1 = off.
+    # Approximation of the trajectory — NOT selection-only like the scoring
+    # substitutes — so it is opt-in and quality-gated on the learned fixture
+    # (tests/test_reuse.py). The SCG rollout, rule scoring and guidance
+    # gradients always run fresh every step; the first executed step always
+    # refreshes. Incompatible with segmented chains (t_begin/t_stop): the
+    # cache cannot cross dispatch boundaries.
+    reuse_interval: int = 0
+    # Reuse is only sound where the chain is FINE-GRAINED in noise level:
+    # x̂0 = (x - sqrt(1-ᾱ)·eps)/sqrt(ᾱ) amplifies a stale eps by 1/sqrt(ᾱ_t),
+    # which explodes at high t (measured: reuse_interval=2 on a 16-step
+    # ancestral chain is 6x WORSE than no guidance — docs/PERF.md round-3
+    # envelope). Steps with t >= reuse_t_max therefore always refresh;
+    # -1 disables the window (reuse everywhere — only for chains whose
+    # step spacing is already fine, e.g. >= 100 steps).
+    reuse_t_max: int = -1
     record: bool = False
     # Also stack per-step sampler states x_{t-1} into the record (memory:
     # steps x B x C x H x W) — the reference --record's intermediate
@@ -371,6 +390,13 @@ def sample_loop(
     b = shape[0]
     num_steps = tables.num_timesteps
     g = config.guidance
+    reuse_n = int(config.reuse_interval or 0)
+    if reuse_n > 1 and (t_begin is not None or t_stop is not None):
+        raise ValueError(
+            "reuse_interval > 1 is incompatible with segmented chains "
+            "(t_begin/t_stop): the model-output cache cannot cross dispatch "
+            "boundaries; run the chain contiguously or disable reuse"
+        )
 
     rng, init_rng = jax.random.split(rng)
     if noise is not None:
@@ -392,12 +418,35 @@ def sample_loop(
     ts = jnp.arange(start_t, scan_end - 1, -1)
 
     def step(carry, t_scalar):
-        x, rng = carry
+        if reuse_n > 1:
+            x, rng, cached_out = carry
+        else:
+            x, rng = carry
+            cached_out = None
         rng, noise_rng, scg_rng = jax.random.split(rng, 3)
         t = jnp.full((b,), t_scalar, dtype=jnp.int32)
         model_t = tables.model_t[t]
 
-        model_out = model_fn(x, model_t, y)
+        if reuse_n > 1:
+            # SmoothCache/FORA-style trajectory reuse: recompute every
+            # reuse_n-th executed step (position counted from the chain
+            # start, so the first step ALWAYS refreshes — the cache is
+            # never consumed uninitialized), reuse the cached output
+            # otherwise. fp32 cache keeps the cond branches dtype-matched.
+            pos = start_t - t_scalar
+            refresh = (pos % reuse_n) == 0
+            if config.reuse_t_max >= 0:
+                # high-t guard: stale-eps amplification by 1/sqrt(ᾱ_t)
+                refresh = refresh | (t_scalar >= config.reuse_t_max)
+            model_out = jax.lax.cond(
+                refresh,
+                lambda xx: model_fn(xx, model_t, y).astype(jnp.float32),
+                lambda xx: cached_out,
+                x,
+            )
+            cached_out = model_out
+        else:
+            model_out = model_fn(x, model_t, y)
         pmv = gd.p_mean_variance(
             tables, model_out, x, t,
             mean_type=config.mean_type, var_type=config.var_type,
@@ -501,9 +550,20 @@ def sample_loop(
         if config.record and config.record_states:
             record = dict(record)
             record["state"] = sample
+        if reuse_n > 1:
+            return (sample, rng, cached_out), record
         return (sample, rng), record
 
-    (final, _), records = jax.lax.scan(step, (x_init, rng), ts)
+    if reuse_n > 1:
+        out_ch = shape[1]
+        if config.var_type in (gd.ModelVarType.LEARNED,
+                               gd.ModelVarType.LEARNED_RANGE):
+            out_ch *= 2
+        cache0 = jnp.zeros((b, out_ch) + tuple(shape[2:]), dtype=jnp.float32)
+        (final, _, _), records = jax.lax.scan(
+            step, (x_init, rng, cache0), ts)
+    else:
+        (final, _), records = jax.lax.scan(step, (x_init, rng), ts)
     return final, records
 
 

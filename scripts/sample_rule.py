@@ -152,6 +152,14 @@ def main():
         record_states=args.record_states,
         rule_names=list(rules.keys()),
     )
+    if args.reuse_interval > 1:
+        # CLI override of the cross-step trajectory-reuse accelerator
+        # (quality-gated approximation, docs/PERF.md; tests/test_reuse.py)
+        from dataclasses import replace as _replace
+
+        sampler_config = _replace(sampler_config,
+                                  reuse_interval=args.reuse_interval,
+                                  reuse_t_max=args.reuse_t_max)
 
     y = None
     if args.class_cond:
@@ -342,6 +350,11 @@ def create_argparser():
         scoring_rollout_path="",
         # >1: run the chain as N bounded dispatches (streaming/resumable)
         segments=0,
+        # >1: recompute the trajectory denoiser every N steps, reuse between
+        # (SmoothCache-family accelerator; incompatible with --segments)
+        reuse_interval=0,
+        # always refresh at t >= this (stale-eps amplification guard); -1 off
+        reuse_t_max=-1,
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()
