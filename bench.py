@@ -407,6 +407,16 @@ def build(geom):
             sampler_config=replace(ucfg, reuse_interval=2),
             **dict(common, use_decode=False))
 
+    if os.environ.get("BENCH_DPMPP", "1") == "1":
+        # few-step deterministic serving: DPM-Solver++(2M) at 20 steps
+        # (order-2 ODE sampler, tests/test_dpmpp.py; docs/PERF.md)
+        dpm_tables = make_schedule(
+            "linear", 1000, timestep_respacing="20").tables()
+        variants["unguided_dpmpp20"] = make_sample_fn(
+            tables=dpm_tables,
+            sampler_config=SamplerConfig(sampler="dpmpp"),
+            **dict(common, use_decode=False))
+
     rules = geom.rules()
     y = jnp.ones((batch,), dtype=jnp.int32)
 
@@ -524,6 +534,7 @@ def main():
         "ddim_feat_rollout_reuse_per_min": None,
         "unguided_per_min": None,
         "unguided_reuse_per_min": None,
+        "unguided_dpmpp_per_min": None,
         "full_measured_per_min": None,
     }
 
@@ -572,6 +583,9 @@ def main():
             extras.append(
                 "unguided_ddim100_reuse2="
                 f"{state['unguided_reuse_per_min']:.1f}/min")
+        if state["unguided_dpmpp_per_min"] is not None:
+            extras.append(
+                f"unguided_dpmpp20={state['unguided_dpmpp_per_min']:.1f}/min")
         if state["full_measured_per_min"] is not None:
             extras.append("ddpm1000_measured_full="
                           f"{state['full_measured_per_min']:.3f}/min")
@@ -727,6 +741,13 @@ def main():
                 steps_hint=geom.ddim_steps // 2)
             if uwr is not None:
                 state["unguided_reuse_per_min"] = geom.batch * 60.0 / uwr
+                emit_record(ddpm_per_min)
+        if "unguided_dpmpp20" in variants and remaining() > 60:
+            dw = _time_variant(
+                variants["unguided_dpmpp20"], bundle, rules, y,
+                "unguided dpmpp20", steps_hint=20)
+            if dw is not None:
+                state["unguided_dpmpp_per_min"] = geom.batch * 60.0 / dw
                 emit_record(ddpm_per_min)
     except Exception as e:
         print(f"[bench {_elapsed():.0f}s] unguided variants failed: {e!r}",

@@ -162,9 +162,14 @@ def sampler_config_from_yaml(
         )
 
     use_ddim = bool(_ns_get(sampling_ns, "use_ddim", False))
+    # beyond-reference: sampling.sampler overrides use_ddim ("dpmpp" selects
+    # the deterministic DPM-Solver++ multistep ODE sampler; docs/PERF.md)
+    sampler = str(_ns_get(sampling_ns, "sampler", "") or
+                  ("ddim" if use_ddim else "ddpm"))
     return SamplerConfig(
-        sampler="ddim" if use_ddim else "ddpm",
+        sampler=sampler,
         eta=1.0,
+        dpmpp_order=int(_ns_get(sampling_ns, "dpmpp_order", 2)),
         var_type=(gd.ModelVarType.LEARNED_RANGE if learn_sigma
                   else gd.ModelVarType.FIXED_LARGE),
         clip_denoised=False,

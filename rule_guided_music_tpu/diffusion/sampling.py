@@ -1,4 +1,5 @@
-"""Whole-chain on-device samplers: DDPM / DDIM / SCG / edit in one scan.
+"""Whole-chain on-device samplers: DDPM / DDIM / DPM-Solver++ / SCG / edit
+in one scan.
 
 The reference runs its reverse chain as a host-side Python loop calling
 p_sample 1000 times (gaussian_diffusion.py:809-879), with SCG branching,
@@ -72,8 +73,17 @@ class EditConfig:
 
 @dataclass(frozen=True)
 class SamplerConfig:
-    sampler: str = "ddpm"           # ddpm | ddim
+    sampler: str = "ddpm"           # ddpm | ddim | dpmpp
     eta: float = 1.0                # DDIM eta (reference uses eta=1)
+    # dpmpp = DPM-Solver++ multistep (data-prediction, arXiv 2211.01095),
+    # a beyond-reference deterministic ODE sampler: order 1 is analytically
+    # DDIM(eta=0); order 2 (the "2M" scheme) reuses the previous step's x̂0
+    # through the scan carry for a second-order update at the same model
+    # cost per step — 10-20 steps match many-step DDIM trajectories on the
+    # probability-flow ODE. Deterministic, so incompatible with SCG (all k
+    # candidates would coincide); classifier guidance applies in eps space
+    # exactly as in the DDIM branch.
+    dpmpp_order: int = 2            # 1 | 2 (sampler == "dpmpp" only)
     mean_type: gd.ModelMeanType = gd.ModelMeanType.EPSILON
     var_type: gd.ModelVarType = gd.ModelVarType.FIXED_LARGE
     clip_denoised: bool = False
@@ -397,6 +407,24 @@ def sample_loop(
             "(t_begin/t_stop): the model-output cache cannot cross dispatch "
             "boundaries; run the chain contiguously or disable reuse"
         )
+    if config.sampler not in ("ddpm", "ddim", "dpmpp"):
+        raise ValueError(f"unknown sampler {config.sampler!r}")
+    if config.sampler == "dpmpp" and config.scg is not None:
+        raise ValueError(
+            "SCG requires a stochastic sampler (ddpm, or ddim with eta > 0): "
+            "DPM-Solver++ is a deterministic ODE sampler, so all k SCG "
+            "candidates would coincide; use sampler='ddim' for guided SCG "
+            "chains and reserve dpmpp for unguided/CFG/classifier-guided runs"
+        )
+    # 2M multistep state (previous step's x̂0 + λ) rides the scan carry;
+    # like the reuse cache it cannot cross segmented-dispatch boundaries.
+    dpmpp_multistep = config.sampler == "dpmpp" and config.dpmpp_order >= 2
+    if dpmpp_multistep and (t_begin is not None or t_stop is not None):
+        raise ValueError(
+            "dpmpp order 2 is incompatible with segmented chains "
+            "(t_begin/t_stop): the multistep x̂0 history cannot cross "
+            "dispatch boundaries; use dpmpp_order=1 or run contiguously"
+        )
 
     rng, init_rng = jax.random.split(rng)
     if noise is not None:
@@ -418,14 +446,12 @@ def sample_loop(
     ts = jnp.arange(start_t, scan_end - 1, -1)
 
     def step(carry, t_scalar):
-        if reuse_n > 1:
-            x, rng, cached_out = carry
-        else:
-            x, rng = carry
-            cached_out = None
+        x, rng = carry["x"], carry["rng"]
+        cached_out = carry.get("cache")
         rng, noise_rng, scg_rng = jax.random.split(rng, 3)
         t = jnp.full((b,), t_scalar, dtype=jnp.int32)
         model_t = tables.model_t[t]
+        pos = start_t - t_scalar
 
         if reuse_n > 1:
             # SmoothCache/FORA-style trajectory reuse: recompute every
@@ -433,7 +459,6 @@ def sample_loop(
             # start, so the first step ALWAYS refreshes — the cache is
             # never consumed uninitialized), reuse the cached output
             # otherwise. fp32 cache keeps the cond branches dtype-matched.
-            pos = start_t - t_scalar
             refresh = (pos % reuse_n) == 0
             if config.reuse_t_max >= 0:
                 # high-t guard: stale-eps amplification by 1/sqrt(ᾱ_t)
@@ -483,11 +508,13 @@ def sample_loop(
                 mean = jnp.where(use_guidance, guided_mean, pmv.mean)
             pmv = pmv._replace(mean=mean)
 
+        dpmpp_state = None
         if config.sampler == "ddpm":
             g_coeff = jnp.exp(0.5 * pmv.log_variance)
             base_mean = pmv.mean
         else:
-            # DDIM: condition_score guidance (ddim_sample :924-925).
+            # DDIM / DPM-Solver++: condition_score guidance in eps space
+            # (ddim_sample :924-925) applies identically to both.
             pred_xstart = pmv.pred_xstart
             eps = pmv.eps
             if cond_fn is not None and g is not None and g.method != "dps":
@@ -501,16 +528,48 @@ def sample_loop(
                 pred_xstart = jnp.where(take, x0_g, pred_xstart)
             acp = gd._extract(tables.alphas_cumprod, t, x.ndim)
             acp_prev = gd._extract(tables.alphas_cumprod_prev, t, x.ndim)
-            sigma = (
-                config.eta
-                * jnp.sqrt((1 - acp_prev) / (1 - acp))
-                * jnp.sqrt(1 - acp / acp_prev)
-            )
-            base_mean = (
-                pred_xstart * jnp.sqrt(acp_prev)
-                + jnp.sqrt(jnp.maximum(1 - acp_prev - sigma**2, 0.0)) * eps
-            )
-            g_coeff = sigma
+            if config.sampler == "ddim":
+                sigma = (
+                    config.eta
+                    * jnp.sqrt((1 - acp_prev) / (1 - acp))
+                    * jnp.sqrt(1 - acp / acp_prev)
+                )
+                base_mean = (
+                    pred_xstart * jnp.sqrt(acp_prev)
+                    + jnp.sqrt(jnp.maximum(1 - acp_prev - sigma**2, 0.0)) * eps
+                )
+                g_coeff = sigma
+            else:
+                # DPM-Solver++ (data prediction, arXiv 2211.01095 eq. 4.8):
+                # exponential-integrator update in λ = log(α/σ) space,
+                #   x_{t-1} = (σ_{t-1}/σ_t)·x_t − α_{t-1}·(e^{−h} − 1)·D,
+                # h = λ_{t-1} − λ_t. Order 1 (D = x̂0_t) is analytically
+                # DDIM(eta=0); the 2M scheme extrapolates D from the
+                # previous step's x̂0 carried through the scan:
+                #   D = (1 + 1/(2r))·x̂0_t − (1/(2r))·x̂0_prev, r = h_prev/h.
+                # σ_{t-1} is clamped away from 0 so the final step reduces
+                # smoothly to x = α_0·D (e^{−h} → 0 as λ_{t-1} → ∞).
+                alpha_t = jnp.sqrt(acp)
+                sigma_t = jnp.sqrt(1.0 - acp)
+                alpha_p = jnp.sqrt(acp_prev)
+                sigma_p = jnp.sqrt(jnp.maximum(1.0 - acp_prev, 1e-24))
+                lam_t = jnp.log(alpha_t) - jnp.log(sigma_t)
+                lam_p = jnp.log(alpha_p) - jnp.log(sigma_p)
+                h = lam_p - lam_t
+                d_bar = pred_xstart
+                if dpmpp_multistep:
+                    h_prev = lam_t - carry["prev_lam"]
+                    # first executed step has no history -> order-1 update;
+                    # the where() also masks the then-meaningless r.
+                    r = h_prev / h
+                    corr = 1.0 / (2.0 * r)
+                    d2 = (1.0 + corr) * pred_xstart - corr * carry["prev_x0"]
+                    d_bar = jnp.where(pos > 0, d2, pred_xstart)
+                base_mean = ((sigma_p / sigma_t) * x
+                             - alpha_p * jnp.expm1(-h) * d_bar)
+                g_coeff = jnp.zeros_like(sigma_p)
+                dpmpp_state = (pred_xstart.astype(x.dtype),
+                               lam_t.astype(jnp.float32))
 
         # --- next-state sampling (plain vs SCG search) --------------------
         plain_noise = jax.random.normal(noise_rng, x.shape, dtype=x.dtype)
@@ -550,21 +609,27 @@ def sample_loop(
         if config.record and config.record_states:
             record = dict(record)
             record["state"] = sample
+        new_carry = {"x": sample, "rng": rng}
         if reuse_n > 1:
-            return (sample, rng, cached_out), record
-        return (sample, rng), record
+            new_carry["cache"] = cached_out
+        if dpmpp_multistep:
+            new_carry["prev_x0"], new_carry["prev_lam"] = dpmpp_state
+        return new_carry, record
 
+    carry0 = {"x": x_init, "rng": rng}
     if reuse_n > 1:
         out_ch = shape[1]
         if config.var_type in (gd.ModelVarType.LEARNED,
                                gd.ModelVarType.LEARNED_RANGE):
             out_ch *= 2
-        cache0 = jnp.zeros((b, out_ch) + tuple(shape[2:]), dtype=jnp.float32)
-        (final, _, _), records = jax.lax.scan(
-            step, (x_init, rng, cache0), ts)
-    else:
-        (final, _), records = jax.lax.scan(step, (x_init, rng), ts)
-    return final, records
+        carry0["cache"] = jnp.zeros((b, out_ch) + tuple(shape[2:]),
+                                    dtype=jnp.float32)
+    if dpmpp_multistep:
+        carry0["prev_x0"] = jnp.zeros_like(x_init)
+        carry0["prev_lam"] = jnp.zeros((b,) + (1,) * (x_init.ndim - 1),
+                                       dtype=jnp.float32)
+    final_carry, records = jax.lax.scan(step, carry0, ts)
+    return final_carry["x"], records
 
 
 def ddim_reverse_loop(

@@ -50,7 +50,9 @@ def main():
     )
 
     sampler_config = SamplerConfig(
-        sampler="ddim" if args.use_ddim else "ddpm",
+        # --sampler dpmpp: deterministic DPM-Solver++(2M) ODE sampler for
+        # few-step unguided/CFG serving (beyond-reference; docs/PERF.md)
+        sampler=args.sampler or ("ddim" if args.use_ddim else "ddpm"),
         eta=1.0,
         var_type=(gd.ModelVarType.LEARNED_RANGE if args.learn_sigma
                   else gd.ModelVarType.FIXED_LARGE),
@@ -108,6 +110,8 @@ def create_argparser():
         cfg=True,
         w=4.0,
         use_ddim=False,
+        # '' = honor use_ddim; 'ddpm'|'ddim'|'dpmpp' overrides
+        sampler="",
         seed=0,
     )
     defaults.update(model_and_diffusion_defaults())

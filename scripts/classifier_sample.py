@@ -70,7 +70,9 @@ def main():
                                 scale=args.classifier_scale, model=cls_model)]
 
     sampler_config = SamplerConfig(
-        sampler="ddim" if args.use_ddim else "ddpm",
+        # --sampler dpmpp: few-step deterministic ODE sampling with the
+        # eps-space classifier guidance shared with the DDIM branch
+        sampler=args.sampler or ("ddim" if args.use_ddim else "ddpm"),
         eta=1.0,
         var_type=(gd.ModelVarType.LEARNED_RANGE if args.learn_sigma
                   else gd.ModelVarType.FIXED_LARGE),
@@ -139,6 +141,8 @@ def create_argparser():
         class_label=1,
         class_cond=True,
         use_ddim=False,
+        # '' = honor use_ddim; 'ddpm'|'ddim'|'dpmpp' overrides
+        sampler="",
         seed=0,
     )
     defaults.update(model_and_diffusion_defaults())

@@ -58,8 +58,10 @@ def main():
         args.noise_schedule, args.diffusion_steps,
         timestep_respacing=args.timestep_respacing,
     ).tables()
-    config = SamplerConfig(sampler="ddim" if args.use_ddim else "ddpm",
-                           eta=1.0)
+    # --sampler dpmpp: few-step deterministic ODE serving (docs/PERF.md)
+    config = SamplerConfig(
+        sampler=args.sampler or ("ddim" if args.use_ddim else "ddpm"),
+        eta=1.0)
     gen_shape = (args.batch_size, args.in_channels, *args.image_size)
     y = jnp.full((args.batch_size,), args.class_label, dtype=jnp.int32)
 
@@ -102,6 +104,8 @@ def create_argparser():
         cfg=True,
         w=4.0,
         use_ddim=False,
+        # '' = honor use_ddim; 'ddpm'|'ddim'|'dpmpp' overrides
+        sampler="",
         bf16=True,
         seed=0,
     )
