@@ -166,10 +166,13 @@ def sampler_config_from_yaml(
     # the deterministic DPM-Solver++ multistep ODE sampler; docs/PERF.md)
     sampler = str(_ns_get(sampling_ns, "sampler", "") or
                   ("ddim" if use_ddim else "ddpm"))
+    # empty YAML values parse to None — fall back like the absent-key case
+    dpmpp_order = _ns_get(sampling_ns, "dpmpp_order", 2)
+    reuse_t_max = _ns_get(sampling_ns, "reuse_t_max", -1)
     return SamplerConfig(
         sampler=sampler,
         eta=1.0,
-        dpmpp_order=int(_ns_get(sampling_ns, "dpmpp_order", 2)),
+        dpmpp_order=int(2 if dpmpp_order is None else dpmpp_order),
         var_type=(gd.ModelVarType.LEARNED_RANGE if learn_sigma
                   else gd.ModelVarType.FIXED_LARGE),
         clip_denoised=False,
@@ -177,7 +180,7 @@ def sampler_config_from_yaml(
         # beyond-reference: cross-step trajectory-output reuse
         # (sampling.reuse_interval in the YAML; 0/1 = off; docs/PERF.md)
         reuse_interval=int(_ns_get(sampling_ns, "reuse_interval", 0) or 0),
-        reuse_t_max=int(_ns_get(sampling_ns, "reuse_t_max", -1)),
+        reuse_t_max=int(-1 if reuse_t_max is None else reuse_t_max),
         guidance=guidance,
         scg=scg,
         edit=edit,

@@ -416,6 +416,11 @@ def sample_loop(
             "candidates would coincide; use sampler='ddim' for guided SCG "
             "chains and reserve dpmpp for unguided/CFG/classifier-guided runs"
         )
+    if config.sampler == "dpmpp" and config.dpmpp_order not in (1, 2):
+        raise ValueError(
+            f"dpmpp_order must be 1 or 2, got {config.dpmpp_order} "
+            "(only the 2M multistep scheme is implemented)"
+        )
     # 2M multistep state (previous step's x̂0 + λ) rides the scan carry;
     # like the reuse cache it cannot cross segmented-dispatch boundaries.
     dpmpp_multistep = config.sampler == "dpmpp" and config.dpmpp_order >= 2
@@ -522,7 +527,6 @@ def sample_loop(
                 grad = cond_fn(x, model_t, rules)
                 eps_g = eps - jnp.sqrt(1 - acp_t) * grad
                 x0_g = gd.predict_xstart_from_eps(tables, x, t, eps_g)
-                mean_g, _, _ = gd.q_posterior_mean_variance(tables, x0_g, x, t)
                 take = use_guidance
                 eps = jnp.where(take, eps_g, eps)
                 pred_xstart = jnp.where(take, x0_g, pred_xstart)
@@ -561,10 +565,17 @@ def sample_loop(
                     h_prev = lam_t - carry["prev_lam"]
                     # first executed step has no history -> order-1 update;
                     # the where() also masks the then-meaningless r.
+                    # FINAL step also drops to order 1 (diffusers
+                    # lower_order_final): there λ_{t-1} -> ∞ exists only
+                    # through the σ clamp, so the 2M coefficient
+                    # 1/(2r) = h/(2·h_prev) would amplify the last x̂0 jump
+                    # by an arbitrary clamp-determined factor (~4x at
+                    # N=20); order 1 at σ=0 is exactly x = α_0·x̂0.
                     r = h_prev / h
                     corr = 1.0 / (2.0 * r)
                     d2 = (1.0 + corr) * pred_xstart - corr * carry["prev_x0"]
-                    d_bar = jnp.where(pos > 0, d2, pred_xstart)
+                    use2 = (pos > 0) & (t_scalar != scan_end)
+                    d_bar = jnp.where(use2, d2, pred_xstart)
                 base_mean = ((sigma_p / sigma_t) * x
                              - alpha_p * jnp.expm1(-h) * d_bar)
                 g_coeff = jnp.zeros_like(sigma_p)
@@ -572,12 +583,17 @@ def sample_loop(
                                lam_t.astype(jnp.float32))
 
         # --- next-state sampling (plain vs SCG search) --------------------
-        plain_noise = jax.random.normal(noise_rng, x.shape, dtype=x.dtype)
-        if config.sampler == "ddpm":
-            nonzero = (t_scalar > config.t_end).astype(x.dtype)
+        if config.sampler == "dpmpp":
+            # deterministic ODE step: g_coeff is structurally zero — skip
+            # the full-state normal sample (XLA won't fold x*0 to 0)
+            plain_sample = base_mean
         else:
-            nonzero = (t_scalar != config.t_end).astype(x.dtype)
-        plain_sample = base_mean + nonzero * g_coeff * plain_noise
+            plain_noise = jax.random.normal(noise_rng, x.shape, dtype=x.dtype)
+            if config.sampler == "ddpm":
+                nonzero = (t_scalar > config.t_end).astype(x.dtype)
+            else:
+                nonzero = (t_scalar != config.t_end).astype(x.dtype)
+            plain_sample = base_mean + nonzero * g_coeff * plain_noise
 
         if config.scg is not None:
             def scg_branch(args):

@@ -152,13 +152,18 @@ def main():
         record_states=args.record_states,
         rule_names=list(rules.keys()),
     )
-    if args.reuse_interval > 1:
-        # CLI override of the cross-step trajectory-reuse accelerator
-        # (quality-gated approximation, docs/PERF.md; tests/test_reuse.py)
-        from dataclasses import replace as _replace
+    # CLI overrides of the cross-step trajectory-reuse accelerator
+    # (quality-gated approximation, docs/PERF.md; tests/test_reuse.py).
+    # Each flag overrides independently so a YAML-configured window is not
+    # clobbered by restating --reuse_interval (and --reuse_interval 0/1
+    # disables YAML-enabled reuse).
+    from dataclasses import replace as _replace
 
+    if args.reuse_interval >= 0:
         sampler_config = _replace(sampler_config,
-                                  reuse_interval=args.reuse_interval,
+                                  reuse_interval=args.reuse_interval)
+    if args.reuse_t_max >= -1:
+        sampler_config = _replace(sampler_config,
                                   reuse_t_max=args.reuse_t_max)
 
     y = None
@@ -351,10 +356,12 @@ def create_argparser():
         # >1: run the chain as N bounded dispatches (streaming/resumable)
         segments=0,
         # >1: recompute the trajectory denoiser every N steps, reuse between
-        # (SmoothCache-family accelerator; incompatible with --segments)
-        reuse_interval=0,
-        # always refresh at t >= this (stale-eps amplification guard); -1 off
-        reuse_t_max=-1,
+        # (SmoothCache-family accelerator; incompatible with --segments).
+        # 0/1 disables; -1 (default) defers to the YAML sampling block
+        reuse_interval=-1,
+        # always refresh at t >= this (stale-eps amplification guard);
+        # -1 = no window; -2 (default) defers to the YAML sampling block
+        reuse_t_max=-2,
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -89,6 +89,28 @@ def test_dpmpp_order2_converges_faster():
     assert e16_2 < e8_2, (e8_2, e16_2)
 
 
+def test_dpmpp_final_step_drops_to_order1():
+    """lower_order_final: at the final step λ_{t-1} exists only through the
+    σ clamp, so 2M must fall back to order 1 there. On a 2-step chain BOTH
+    steps are then order 1 (first step: no history; last step: final), so
+    order-2 config must match DDIM(eta=0) exactly."""
+    tables = _tables(2)
+    rng = jax.random.PRNGKey(11)
+    ddim = sample_loop(rng, _smooth_model, SHAPE, tables,
+                       SamplerConfig(sampler="ddim", eta=0.0))[0]
+    dpm2 = sample_loop(rng, _smooth_model, SHAPE, tables,
+                       SamplerConfig(sampler="dpmpp", dpmpp_order=2))[0]
+    np.testing.assert_allclose(np.asarray(dpm2), np.asarray(ddim),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dpmpp_order_validated():
+    tables = _tables(4)
+    with pytest.raises(ValueError, match="dpmpp_order"):
+        sample_loop(jax.random.PRNGKey(0), _smooth_model, SHAPE, tables,
+                    SamplerConfig(sampler="dpmpp", dpmpp_order=3))
+
+
 def test_dpmpp_is_deterministic_in_sampling_noise():
     """Only the chain INIT consumes randomness: two runs whose rngs produce
     the same x_init but would produce different per-step noise must agree.

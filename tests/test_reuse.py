@@ -149,12 +149,11 @@ def test_reuse_t_max_window_semantics():
     b_ = sample_loop(jax.random.PRNGKey(1), make_marked(123.0), SHAPE,
                      _tables("9"), cfg)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
-    # sanity: one of the always-refresh ts (t >= m at an odd position) IS
-    # in the marked set only because of the window — without the window the
-    # chains would diverge
-    cfg_nowin = SamplerConfig(reuse_interval=2)
+    # sanity: the marker mechanism is live — a NO-reuse chain calls the
+    # model at every t including the marked (non-refresh) ones {1, 3}, so
+    # the marked model must diverge from the unmarked windowed run
     c = sample_loop(jax.random.PRNGKey(1), make_marked(123.0), SHAPE,
-                    _tables("9"), cfg_nowin)[0]
+                    _tables("9"), SamplerConfig())[0]
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
