@@ -654,6 +654,77 @@ def main():
     except Exception as e:
         print(f"[bench {_elapsed():.0f}s] ddim100 failed: {e!r}", flush=True)
 
+    # --- unguided serving path, reuse A/B -----------------------------------
+    try:
+        if "unguided_ddim" in variants and remaining() > 60:
+            uw = _time_variant(variants["unguided_ddim"], bundle, rules, y,
+                               "unguided ddim100",
+                               steps_hint=geom.ddim_steps)
+            if uw is not None:
+                state["unguided_per_min"] = geom.batch * 60.0 / uw
+                emit_record(ddpm_per_min)
+        if "unguided_ddim_reuse2" in variants and remaining() > 60:
+            uwr = _time_variant(
+                variants["unguided_ddim_reuse2"], bundle, rules, y,
+                "unguided ddim100 + reuse2",
+                steps_hint=geom.ddim_steps // 2)
+            if uwr is not None:
+                state["unguided_reuse_per_min"] = geom.batch * 60.0 / uwr
+                emit_record(ddpm_per_min)
+        if "unguided_dpmpp20" in variants and remaining() > 60:
+            dw = _time_variant(
+                variants["unguided_dpmpp20"], bundle, rules, y,
+                "unguided dpmpp20", steps_hint=20)
+            if dw is not None:
+                state["unguided_dpmpp_per_min"] = geom.batch * 60.0 / dw
+                emit_record(ddpm_per_min)
+    except Exception as e:
+        print(f"[bench {_elapsed():.0f}s] unguided variants failed: {e!r}",
+              flush=True)
+
+    # --- rule-feature head variants ------------------------------------
+    # Best rows first: on a warm cache each XL variant still costs ~60-90s
+    # of executable load + first run, so under the default budget only the
+    # front of this list makes it into the driver's record.
+    try:
+        if "ddim100_feat_rollout_reuse2" in variants and remaining() > 90:
+            frr_wall = _time_variant(
+                variants["ddim100_feat_rollout_reuse2"], bundle, rules, y,
+                "ddim100+feat-head+light-rollout+reuse2",
+                steps_hint=geom.ddim_steps // 2)
+            if frr_wall is not None:
+                state["ddim_feat_rollout_reuse_per_min"] = (
+                    geom.batch * 60.0 / frr_wall)
+                emit_record(ddpm_per_min)
+        if "ddim100_feat_rollout" in variants and remaining() > 90:
+            fr_wall = _time_variant(
+                variants["ddim100_feat_rollout"], bundle, rules, y,
+                "ddim100+feat-head+light-rollout",
+                steps_hint=geom.ddim_steps)
+            if fr_wall is not None:
+                state["ddim_feat_rollout_per_min"] = (geom.batch * 60.0
+                                                      / fr_wall)
+                emit_record(ddpm_per_min)
+        if "ddim100_feat" in variants and remaining() > 90:
+            ddim_feat_wall = _time_variant(
+                variants["ddim100_feat"], bundle, rules, y,
+                "ddim100+feat-head", steps_hint=geom.ddim_steps)
+            if ddim_feat_wall is not None:
+                state["ddim_feat_per_min"] = (geom.batch * 60.0
+                                              / ddim_feat_wall)
+                emit_record(ddpm_per_min)
+        if "ddpm1000_feat" in variants and remaining() > 90:
+            feat_wall = _time_variant(variants["ddpm1000_feat"], bundle,
+                                      rules, y, "ddpm1000+feat-head",
+                                      steps_hint=probe_steps)
+            if feat_wall is not None:
+                state["feat_per_min"] = geom.batch * 60.0 / (feat_wall
+                                                             * scale)
+                emit_record(ddpm_per_min)
+    except Exception as e:
+        print(f"[bench {_elapsed():.0f}s] feat variants failed: {e!r}",
+              flush=True)
+
     # --- light scoring decoder variants ------------------------------------
     try:
         if "ddpm1000_light" in variants and remaining() > 90:
@@ -683,74 +754,6 @@ def main():
                 emit_record(ddpm_per_min)
     except Exception as e:
         print(f"[bench {_elapsed():.0f}s] light variants failed: {e!r}",
-              flush=True)
-
-    # --- rule-feature head variants ----------------------------------------
-    try:
-        if "ddpm1000_feat" in variants and remaining() > 90:
-            feat_wall = _time_variant(variants["ddpm1000_feat"], bundle,
-                                      rules, y, "ddpm1000+feat-head",
-                                      steps_hint=probe_steps)
-            if feat_wall is not None:
-                state["feat_per_min"] = geom.batch * 60.0 / (feat_wall
-                                                             * scale)
-                emit_record(ddpm_per_min)
-        if "ddim100_feat" in variants and remaining() > 90:
-            ddim_feat_wall = _time_variant(
-                variants["ddim100_feat"], bundle, rules, y,
-                "ddim100+feat-head", steps_hint=geom.ddim_steps)
-            if ddim_feat_wall is not None:
-                state["ddim_feat_per_min"] = (geom.batch * 60.0
-                                              / ddim_feat_wall)
-                emit_record(ddpm_per_min)
-        if "ddim100_feat_rollout" in variants and remaining() > 90:
-            fr_wall = _time_variant(
-                variants["ddim100_feat_rollout"], bundle, rules, y,
-                "ddim100+feat-head+light-rollout",
-                steps_hint=geom.ddim_steps)
-            if fr_wall is not None:
-                state["ddim_feat_rollout_per_min"] = (geom.batch * 60.0
-                                                      / fr_wall)
-                emit_record(ddpm_per_min)
-        if "ddim100_feat_rollout_reuse2" in variants and remaining() > 90:
-            frr_wall = _time_variant(
-                variants["ddim100_feat_rollout_reuse2"], bundle, rules, y,
-                "ddim100+feat-head+light-rollout+reuse2",
-                steps_hint=geom.ddim_steps // 2)
-            if frr_wall is not None:
-                state["ddim_feat_rollout_reuse_per_min"] = (
-                    geom.batch * 60.0 / frr_wall)
-                emit_record(ddpm_per_min)
-    except Exception as e:
-        print(f"[bench {_elapsed():.0f}s] feat variants failed: {e!r}",
-              flush=True)
-
-    # --- unguided serving path, reuse A/B -----------------------------------
-    try:
-        if "unguided_ddim" in variants and remaining() > 60:
-            uw = _time_variant(variants["unguided_ddim"], bundle, rules, y,
-                               "unguided ddim100",
-                               steps_hint=geom.ddim_steps)
-            if uw is not None:
-                state["unguided_per_min"] = geom.batch * 60.0 / uw
-                emit_record(ddpm_per_min)
-        if "unguided_ddim_reuse2" in variants and remaining() > 60:
-            uwr = _time_variant(
-                variants["unguided_ddim_reuse2"], bundle, rules, y,
-                "unguided ddim100 + reuse2",
-                steps_hint=geom.ddim_steps // 2)
-            if uwr is not None:
-                state["unguided_reuse_per_min"] = geom.batch * 60.0 / uwr
-                emit_record(ddpm_per_min)
-        if "unguided_dpmpp20" in variants and remaining() > 60:
-            dw = _time_variant(
-                variants["unguided_dpmpp20"], bundle, rules, y,
-                "unguided dpmpp20", steps_hint=20)
-            if dw is not None:
-                state["unguided_dpmpp_per_min"] = geom.batch * 60.0 / dw
-                emit_record(ddpm_per_min)
-    except Exception as e:
-        print(f"[bench {_elapsed():.0f}s] unguided variants failed: {e!r}",
               flush=True)
 
     # --- TRUE full DDPM-1000 chain (opt-in; ~10 min wall) ------------------
