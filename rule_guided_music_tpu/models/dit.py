@@ -68,6 +68,10 @@ class DiTRotary(nn.Module):
     # GSPMD keeps norms/MLP token-sharded and inserts the all-gather /
     # reduce-scatter pair around attention automatically.
     token_spec: Optional[object] = None
+    # W8A8 int8 serving (ops/quant.py): the four token-level matmuls per
+    # block run s8xs8->s32 on the MXU at 2x bf16 peak; embedders, adaLN,
+    # final layer stay fp.  Load params via quantize_dit_params.
+    quant: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -102,7 +106,8 @@ class DiTRotary(nn.Module):
         for i in range(self.depth):
             x = block_cls(
                 self.hidden_size, self.num_heads, self.mlp_ratio,
-                dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
+                dtype=self.dtype, attn_impl=self.attn_impl,
+                quant=self.quant, name=f"blocks_{i}",
             )(x, c, rotary=rotary)
             x = self._constrain(x)
         x = FinalLayer(
@@ -130,6 +135,7 @@ class DiT(nn.Module):
     patchify: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -162,7 +168,8 @@ class DiT(nn.Module):
         for i in range(self.depth):
             tokens = DiTBlock(
                 self.hidden_size, self.num_heads, self.mlp_ratio,
-                dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
+                dtype=self.dtype, attn_impl=self.attn_impl,
+                quant=self.quant, name=f"blocks_{i}",
             )(tokens, c)
 
         if self.patchify:

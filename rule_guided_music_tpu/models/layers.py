@@ -16,9 +16,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import sdpa
+from ..ops.quant import QuantDense
 from ..ops.rotary import RotaryTable, apply_rotary
 
 Dtype = jnp.dtype
+
+
+def _dense(quant: bool, features: int, *, name: str, dtype,
+           use_bias: bool = True, kernel_init=None):
+    """Token-level dense: fp (XLA bf16 MXU) or W8A8 int8 (ops/quant.py)."""
+    if quant:
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias,
+                    kernel_init=kernel_init or xavier, dtype=dtype, name=name)
 
 xavier = nn.initializers.xavier_uniform()
 zeros = nn.initializers.zeros
@@ -159,6 +169,7 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -166,8 +177,8 @@ class Attention(nn.Module):
     ) -> jnp.ndarray:
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(
-            self.dim * 3, use_bias=self.qkv_bias, kernel_init=xavier,
+        qkv = _dense(
+            self.quant, self.dim * 3, use_bias=self.qkv_bias,
             dtype=self.dtype, name="qkv",
         )(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
@@ -178,22 +189,23 @@ class Attention(nn.Module):
             k = jnp.swapaxes(apply_rotary(jnp.swapaxes(k, 1, 2), rotary), 1, 2)
         out = sdpa(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, n, c)
-        return nn.Dense(self.dim, kernel_init=xavier, dtype=self.dtype,
-                        name="proj")(out)
+        return _dense(self.quant, self.dim, dtype=self.dtype,
+                      name="proj")(out)
 
 
 class Mlp(nn.Module):
     hidden_size: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = int(self.hidden_size * self.mlp_ratio)
-        x = nn.Dense(hidden, kernel_init=xavier, dtype=self.dtype, name="fc1")(x)
+        x = _dense(self.quant, hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=True)
-        x = nn.Dense(self.hidden_size, kernel_init=xavier, dtype=self.dtype,
-                     name="fc2")(x)
+        x = _dense(self.quant, self.hidden_size, dtype=self.dtype,
+                   name="fc2")(x)
         return x
 
 
@@ -209,6 +221,10 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    # int8 W8A8 serving path (ops/quant.py) for the four token-level
+    # matmuls; the adaLN modulation below stays fp — it is FLOP-free
+    # ((B, hidden) input) and zero-init-delicate.
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -224,13 +240,14 @@ class DiTBlock(nn.Module):
                              dtype=self.dtype, name="norm1")(x)
         attn_out = Attention(
             self.hidden_size, self.num_heads, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="attn",
+            attn_impl=self.attn_impl, quant=self.quant, name="attn",
         )(modulate(norm1, shift_msa, scale_msa), rotary=rotary)
         x = x + gate_msa[:, None, :] * attn_out
         norm2 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                              dtype=self.dtype, name="norm2")(x)
         mlp_out = Mlp(self.hidden_size, self.mlp_ratio, dtype=self.dtype,
-                      name="mlp")(modulate(norm2, shift_mlp, scale_mlp))
+                      quant=self.quant, name="mlp")(
+                          modulate(norm2, shift_mlp, scale_mlp))
         x = x + gate_mlp[:, None, :] * mlp_out
         return x
 

@@ -86,11 +86,13 @@ class DenoiserBundle:
         model_path: str = "",
         dtype=jnp.bfloat16,
         seed: int = 0,
+        quant: bool = False,
     ) -> "DenoiserBundle":
-        model = DiT_models[name](
+        kwargs = dict(
             input_size=tuple(input_size), in_channels=in_channels,
             num_classes=num_classes, learn_sigma=learn_sigma, dtype=dtype,
         )
+        model = DiT_models[name](**kwargs)
         x = jnp.zeros((1, in_channels, *input_size))
         t = jnp.zeros((1,))
         y = jnp.zeros((1,), dtype=jnp.int32) if num_classes else None
@@ -100,6 +102,13 @@ class DenoiserBundle:
             logger.log(f"loaded denoiser weights from {model_path}")
         else:
             logger.log("WARNING: no model_path given — random denoiser weights")
+        if quant:
+            # fold fp weights to int8 on host, swap in the W8A8 model
+            from .ops.quant import quantize_dit_params
+
+            params = quantize_dit_params(params)
+            model = DiT_models[name](**kwargs, quant=True)
+            logger.log("denoiser trunk quantized to int8 (W8A8 serving)")
         return cls(model, params, lambda x, t, y: model.apply(params, x, t, y))
 
 

@@ -62,6 +62,7 @@ def main():
         num_classes=args.num_classes,
         learn_sigma=args.learn_sigma,
         model_path=args.model_path,
+        quant=args.quant,
     )
     schedule = make_schedule(
         noise_schedule=args.noise_schedule,
@@ -348,6 +349,9 @@ def create_argparser():
         seed=0,
         # multi-chip: 'dp[,fsdp[,tp]]' mesh over jax.devices(); '' = single
         mesh="",
+        # W8A8 int8 serving for the DiT trunk matmuls (ops/quant.py);
+        # quality envelope tested in tests/test_quant.py
+        quant=False,
         # light-scoring levers (selection-only SCG ranking; docs/PERF.md)
         scoring_decoder_path="",
         scoring_features_path="",

@@ -237,6 +237,10 @@ def test_native_codec_speedup_sanity():
     for p in range(30, 100):
         roll[0, p, (p * 7) % 900:(p * 7) % 900 + 60] = 80
         roll[1, p, (p * 7) % 900] = 127
+    # warmup: the C++ codec builds lazily on first use — keep the (one-time,
+    # per-host) compile out of the timed loop
+    roll_to_midi(roll.copy(), use_native=True)
+    roll_to_midi(roll.copy(), use_native=False)
     t0 = time.perf_counter()
     for _ in range(10):
         roll_to_midi(roll.copy(), use_native=True)
