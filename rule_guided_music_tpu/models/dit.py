@@ -8,7 +8,7 @@ naming so reference configs resolve unchanged; forward contract is
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -68,10 +68,12 @@ class DiTRotary(nn.Module):
     # GSPMD keeps norms/MLP token-sharded and inserts the all-gather /
     # reduce-scatter pair around attention automatically.
     token_spec: Optional[object] = None
-    # W8A8 int8 serving (ops/quant.py): the four token-level matmuls per
-    # block run s8xs8->s32 on the MXU at 2x bf16 peak; embedders, adaLN,
-    # final layer stay fp.  Load params via quantize_dit_params.
-    quant: bool = False
+    # int8 serving (ops/quant.py) for the four token-level matmuls per
+    # block; embedders, adaLN, final layer stay fp.  "w8a8" = dynamic
+    # per-token int8 activations on the s8 MXU path; "w8a16" = weight-only
+    # (int8 storage/streaming, bf16 compute) — the measured win at serving
+    # batches on v5e (docs/PERF.md).  Load params via quantize_dit_params.
+    quant: Any = False  # False | "w8a8" | "w8a16"
 
     @property
     def out_channels(self) -> int:
@@ -135,7 +137,7 @@ class DiT(nn.Module):
     patchify: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
-    quant: bool = False
+    quant: Any = False  # False | "w8a8" | "w8a16" (ops/quant.py)
 
     @property
     def out_channels(self) -> int:

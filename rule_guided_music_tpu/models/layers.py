@@ -8,7 +8,7 @@ layout, rotary tables precomputed host-side, adaLN-Zero init parity.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -22,11 +22,17 @@ from ..ops.rotary import RotaryTable, apply_rotary
 Dtype = jnp.dtype
 
 
-def _dense(quant: bool, features: int, *, name: str, dtype,
+def _dense(quant, features: int, *, name: str, dtype,
            use_bias: bool = True, kernel_init=None):
-    """Token-level dense: fp (XLA bf16 MXU) or W8A8 int8 (ops/quant.py)."""
+    """Token-level dense: fp (XLA bf16 MXU) or int8 (ops/quant.py).
+
+    `quant` is '' / False for fp, else a mode ('w8a8' dynamic-activation
+    int8, 'w8a16' weight-only) — see normalize_quant_mode.
+    """
     if quant:
-        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+        mode = "w8a8" if quant is True else str(quant)
+        return QuantDense(features, use_bias=use_bias, dtype=dtype,
+                          mode=mode, name=name)
     return nn.Dense(features, use_bias=use_bias,
                     kernel_init=kernel_init or xavier, dtype=dtype, name=name)
 
@@ -169,7 +175,7 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
-    quant: bool = False
+    quant: Any = False  # False | "w8a8" | "w8a16" (ops/quant.py)
 
     @nn.compact
     def __call__(
@@ -197,7 +203,7 @@ class Mlp(nn.Module):
     hidden_size: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
-    quant: bool = False
+    quant: Any = False  # False | "w8a8" | "w8a16" (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -224,7 +230,7 @@ class DiTBlock(nn.Module):
     # int8 W8A8 serving path (ops/quant.py) for the four token-level
     # matmuls; the adaLN modulation below stays fp — it is FLOP-free
     # ((B, hidden) input) and zero-init-delicate.
-    quant: bool = False
+    quant: Any = False  # False | "w8a8" | "w8a16" (ops/quant.py)
 
     @nn.compact
     def __call__(

@@ -86,7 +86,7 @@ class DenoiserBundle:
         model_path: str = "",
         dtype=jnp.bfloat16,
         seed: int = 0,
-        quant: bool = False,
+        quant=False,  # False | True ("w8a8") | "w8a8" | "w8a16"
     ) -> "DenoiserBundle":
         kwargs = dict(
             input_size=tuple(input_size), in_channels=in_channels,
@@ -102,13 +102,14 @@ class DenoiserBundle:
             logger.log(f"loaded denoiser weights from {model_path}")
         else:
             logger.log("WARNING: no model_path given — random denoiser weights")
-        if quant:
-            # fold fp weights to int8 on host, swap in the W8A8 model
-            from .ops.quant import quantize_dit_params
+        from .ops.quant import normalize_quant_mode, quantize_dit_params
 
+        mode = normalize_quant_mode(quant)
+        if mode:
+            # fold fp weights to int8 on host, swap in the quantized model
             params = quantize_dit_params(params)
-            model = DiT_models[name](**kwargs, quant=True)
-            logger.log("denoiser trunk quantized to int8 (W8A8 serving)")
+            model = DiT_models[name](**kwargs, quant=mode)
+            logger.log(f"denoiser trunk quantized to int8 ({mode} serving)")
         return cls(model, params, lambda x, t, y: model.apply(params, x, t, y))
 
 

@@ -8,7 +8,8 @@ Measures, in one process:
   1. isolated dense: fp bf16 Dense vs quant_dense_apply at DiT hot shapes
      (tokens x 1152 -> {3456, 4608, 1152}) at trajectory (B=4) and SCG
      candidate (B=64) widths;
-  2. full DiTRotary_XL_8 forward fp vs quant at B=4 and B=64;
+  2. full DiTRotary_XL_8 forward at B=1/4/64 across serving variants:
+     fp32 params, bf16-cast params, w8a16 weight-only int8, w8a8;
   3. numerics spot check (relative error fp vs quant on random weights).
 
 Results recorded in docs/PERF.md.
@@ -88,7 +89,8 @@ def main():
     common = dict(input_size=(128, 16), in_channels=4, num_classes=3,
                   learn_sigma=False, dtype=dtype)
     fp_model = DiT_models["DiTRotary_XL_8"](**common)
-    q_model = DiT_models["DiTRotary_XL_8"](**common, quant=True)
+    q_model = DiT_models["DiTRotary_XL_8"](**common, quant="w8a8")
+    wo_model = DiT_models["DiTRotary_XL_8"](**common, quant="w8a16")
     x1 = jnp.zeros((1, 4, 128, 16))
     params = _init_on_host(
         fp_model.init, jax.random.PRNGKey(0), x1, jnp.zeros((1,)),
@@ -100,29 +102,40 @@ def main():
         lambda a: np.asarray(a) + 0.02 * rng.randn(*a.shape).astype(np.float32),
         params)
     q_params = quantize_dit_params(params)
-    # ship both trees to HBM ONCE — leaving them as host numpy re-transfers
+    # bf16-cast fp params: halves weight streaming with no code change
+    bf16_params = jax.tree_util.tree_map(
+        lambda a: a.astype(np.float32).astype(jnp.bfloat16)
+        if a.dtype in (np.float32, np.float64) else a, params)
+    # ship all trees to HBM ONCE — leaving them as host numpy re-transfers
     # ~GBs through the tunnel on every call and times the network, not the
     # chip (r3 session 2: 90 s/forward until this line existed)
-    print("  transferring params (fp32 ~2.7 GB + int8 ~0.7 GB)...", flush=True)
+    print("  transferring params (fp32 + bf16 + 2x int8)...", flush=True)
     params = jax.device_put(params)
+    bf16_params = jax.device_put(bf16_params)
     q_params = jax.device_put(q_params)
-    jax.block_until_ready((params, q_params))
+    jax.block_until_ready((params, bf16_params, q_params))
 
     fwd_fp = jax.jit(fp_model.apply)
     fwd_q = jax.jit(q_model.apply)
-    rels = []
-    for b in (4, 64):
+    fwd_wo = jax.jit(wo_model.apply)
+    for b in (1, 4, 64):
         x = jnp.asarray(rng.randn(b, 4, 128, 16).astype(np.float32))
         t = jnp.full((b,), 500.0)
         y = jnp.zeros((b,), dtype=jnp.int32)
         t_fp = timeit(fwd_fp, params, x, t, y, reps=10)
+        t_bf = timeit(fwd_fp, bf16_params, x, t, y, reps=10)
+        t_wo = timeit(fwd_wo, q_params, x, t, y, reps=10)
         t_q = timeit(fwd_q, q_params, x, t, y, reps=10)
         e_fp = fwd_fp(params, x, t, y).astype(jnp.float32)
-        e_q = fwd_q(q_params, x, t, y).astype(jnp.float32)
-        rel = float(jnp.linalg.norm(e_q - e_fp) / (jnp.linalg.norm(e_fp) + 1e-9))
-        rels.append(rel)
-        print(f"  B={b:3d}: fp {t_fp*1e3:7.2f}  int8 {t_q*1e3:7.2f}  "
-              f"speedup {t_fp/t_q:5.2f}x  rel_err {rel:.4f}", flush=True)
+        nrm = float(jnp.linalg.norm(e_fp)) + 1e-9
+        rel_wo = float(jnp.linalg.norm(
+            fwd_wo(q_params, x, t, y).astype(jnp.float32) - e_fp)) / nrm
+        rel_q = float(jnp.linalg.norm(
+            fwd_q(q_params, x, t, y).astype(jnp.float32) - e_fp)) / nrm
+        print(f"  B={b:3d}: fp32 {t_fp*1e3:7.2f}  bf16w {t_bf*1e3:7.2f} "
+              f"({t_fp/t_bf:4.2f}x)  w8a16 {t_wo*1e3:7.2f} "
+              f"({t_fp/t_wo:4.2f}x, rel {rel_wo:.4f})  w8a8 {t_q*1e3:7.2f} "
+              f"({t_fp/t_q:4.2f}x, rel {rel_q:.4f})", flush=True)
 
     print("done", flush=True)
 

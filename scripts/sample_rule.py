@@ -349,9 +349,10 @@ def create_argparser():
         seed=0,
         # multi-chip: 'dp[,fsdp[,tp]]' mesh over jax.devices(); '' = single
         mesh="",
-        # W8A8 int8 serving for the DiT trunk matmuls (ops/quant.py);
-        # quality envelope tested in tests/test_quant.py
-        quant=False,
+        # int8 serving for the DiT trunk matmuls (ops/quant.py):
+        # '' = off, 'w8a16' weight-only (the measured serving win),
+        # 'w8a8' dynamic-activation; envelope tested in tests/test_quant.py
+        quant="",
         # light-scoring levers (selection-only SCG ranking; docs/PERF.md)
         scoring_decoder_path="",
         scoring_features_path="",

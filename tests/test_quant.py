@@ -17,9 +17,11 @@ import pytest
 from rule_guided_music_tpu.models import DiT_models
 from rule_guided_music_tpu.ops.quant import (
     QuantDense,
+    normalize_quant_mode,
     quant_dense_apply,
     quantize_dense,
     quantize_dit_params,
+    wo_dense_apply,
 )
 
 FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -38,7 +40,11 @@ def test_quantize_dense_roundtrip_error():
     assert rms < 1e-2
 
 
-def test_quant_dense_apply_matches_fp():
+@pytest.mark.parametrize("apply_fn,tol", [
+    (quant_dense_apply, 0.02),   # weight + activation quant error
+    (wo_dense_apply, 0.015),     # weight-only: no activation error
+])
+def test_quant_dense_apply_matches_fp(apply_fn, tol):
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(4, 32, 96).astype(np.float32))
     k = rng.randn(96, 192).astype(np.float32) * 0.1
@@ -46,10 +52,21 @@ def test_quant_dense_apply_matches_fp():
     ref = jnp.einsum("bnd,df->bnf", x, k,
                      precision=jax.lax.Precision.HIGHEST) + b
     q, s = quantize_dense(k)
-    out = quant_dense_apply(x, jnp.asarray(q), jnp.asarray(s), jnp.asarray(b),
-                            dtype=jnp.float32)
+    out = apply_fn(x, jnp.asarray(q), jnp.asarray(s), jnp.asarray(b),
+                   dtype=jnp.float32)
     rel = jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)
-    assert float(rel) < 0.02, float(rel)
+    assert float(rel) < tol, float(rel)
+
+
+def test_normalize_quant_mode():
+    assert normalize_quant_mode(False) == ""
+    assert normalize_quant_mode("") == ""
+    assert normalize_quant_mode("False") == ""
+    assert normalize_quant_mode(True) == "w8a8"
+    assert normalize_quant_mode("True") == "w8a8"
+    assert normalize_quant_mode("W8A16") == "w8a16"
+    with pytest.raises(ValueError):
+        normalize_quant_mode("int4")
 
 
 def test_quant_dense_module_params_and_apply():
@@ -63,11 +80,12 @@ def test_quant_dense_module_params_and_apply():
     assert out.shape == (2, 8, 24)
 
 
-def test_quantize_dit_params_matches_quant_init_structure():
+@pytest.mark.parametrize("mode", ["w8a8", "w8a16"])
+def test_quantize_dit_params_matches_quant_init_structure(mode):
     fp_model = DiT_models["DiTRotary_XS_8"](
         input_size=(128, 16), in_channels=4, num_classes=3)
     q_model = DiT_models["DiTRotary_XS_8"](
-        input_size=(128, 16), in_channels=4, num_classes=3, quant=True)
+        input_size=(128, 16), in_channels=4, num_classes=3, quant=mode)
     x = jnp.zeros((1, 4, 128, 16))
     t = jnp.zeros((1,))
     y = jnp.zeros((1,), dtype=jnp.int32)
@@ -86,9 +104,13 @@ def test_quantize_dit_params_matches_quant_init_structure():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("mode,eps_tol,traj_tol", [
+    ("w8a8", 0.05, 0.15),
+    ("w8a16", 0.04, 0.12),   # no activation error -> tighter envelope
+])
 @pytest.mark.skipif(not os.path.exists(FIXTURE),
                     reason="quality fixture missing")
-def test_quant_quality_envelope_on_learned_fixture():
+def test_quant_quality_envelope_on_learned_fixture(mode, eps_tol, traj_tol):
     """eps error and DDIM trajectory divergence of int8 vs fp serving."""
     from rule_guided_music_tpu.diffusion.sampling import (
         SamplerConfig, sample_loop)
@@ -101,7 +123,7 @@ def test_quant_quality_envelope_on_learned_fixture():
         learn_sigma=False)
     qm = DiT_models["DiTRotary_XS_8"](
         input_size=(128, 16), in_channels=4, num_classes=0,
-        learn_sigma=False, quant=True)
+        learn_sigma=False, quant=mode)
     q_params = quantize_dit_params(fx["dit"])
 
     # 1. pointwise eps-prediction error across the chain
@@ -115,7 +137,7 @@ def test_quant_quality_envelope_on_learned_fixture():
         e_q = qm.apply(q_params, x, t)
         rels.append(float(jnp.linalg.norm(e_q - e_fp)
                           / jnp.linalg.norm(e_fp)))
-    assert max(rels) < 0.05, rels
+    assert max(rels) < eps_tol, rels
 
     # 2. end-to-end deterministic DDIM chain: final samples stay close
     cfg = SamplerConfig(sampler="ddim", eta=0.0)
@@ -129,4 +151,4 @@ def test_quant_quality_envelope_on_learned_fixture():
         outs[tag] = sample
     num = jnp.linalg.norm(outs["q"] - outs["fp"])
     den = jnp.linalg.norm(outs["fp"])
-    assert float(num / den) < 0.15, float(num / den)
+    assert float(num / den) < traj_tol, float(num / den)
