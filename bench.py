@@ -50,6 +50,14 @@ Env knobs:
   BENCH_TINY=1     XS-geometry smoke mode (CPU-testable plumbing check)
   BENCH_FULL_DDPM=1  additionally time the TRUE 1000-step DDPM chain
   BENCH_LIGHT=0    skip the light-scoring-decoder variants
+  BENCH_PRIORITY   comma-separated variant keys (see VARIANT_SPECS) that
+                   replace the default study order — steer a driver run
+                   without code edits; unknown keys warn and skip
+
+Each emitted JSON line also carries a "variants" dict with per-variant
+{compile_s, wall_s, hbm_peak_gb} and a top-level "hbm_peak_gb", so a
+cold-cache accident (compile_s >> 10 s on a warm cache) is diagnosable
+from the driver-captured record alone.
 """
 
 import json
@@ -82,14 +90,22 @@ def _stage(name):
 
 
 def _start_heartbeat(period_s=20.0):
+    """Heartbeat that prints elapsed/stage every ``period_s``.
+
+    Returns a stop Event; ``main()`` sets it on exit so the thread does not
+    keep printing "[bench hb ...]" lines into whatever process imported the
+    module (a full pytest run after test_bench_smoke, for instance).
+    """
+    stop = threading.Event()
+
     def beat():
-        while True:
-            time.sleep(period_s)
+        while not stop.wait(period_s):
             print(f"[bench hb {_elapsed():.0f}s] in stage: "
                   f"{_STAGE['name']}", flush=True)
 
     t = threading.Thread(target=beat, daemon=True)
     t.start()
+    return stop
 
 
 def _emit(record):
@@ -427,7 +443,8 @@ def build(geom):
 
 def _report_memory(label):
     """Peak/limit HBM after a variant — calibrates diffusion/memory.py's
-    preflight constants against reality (docs/PERF.md)."""
+    preflight constants against reality (docs/PERF.md).  Returns the peak
+    in GB (or None) so it can land in the emitted JSON record."""
     try:
         stats = jax.local_devices()[0].memory_stats()
         if stats:
@@ -438,8 +455,10 @@ def _report_memory(label):
                       f"peak={peak/1e9:.2f}GB"
                       + (f" limit={limit/1e9:.2f}GB" if limit else ""),
                       flush=True)
+                return round(peak / 1e9, 3)
     except Exception:
         pass
+    return None
 
 
 def _sync(out):
@@ -452,17 +471,28 @@ def _sync(out):
     return float(jnp.sum(jnp.abs(sample).astype(jnp.float32)))
 
 
-def _time_variant(generate, bundle, rules, y, label, steps_hint=None):
+def _time_variant(generate, bundle, rules, y, label, steps_hint=None,
+                  diag=None):
+    """Time one variant.  Returns the steady-state wall (None if unreliable)
+    and, when ``diag`` (a dict) is given, records ``compile_s`` /
+    ``hbm_peak_gb`` / ``wall_s`` under it so cold-cache accidents are
+    diagnosable from the driver-captured JSON (VERDICT r3 item 1b)."""
     _stage(f"compiling {label}")
     t0 = time.perf_counter()
     check = _sync(generate(jax.random.PRNGKey(0), bundle, rules, y))
+    compile_s = time.perf_counter() - t0
     print(f"[bench {_elapsed():.0f}s] {label} compile+first: "
-          f"{time.perf_counter() - t0:.1f}s (sum={check:.3e})", flush=True)
+          f"{compile_s:.1f}s (sum={check:.3e})", flush=True)
     _stage(f"timing {label}")
     t0 = time.perf_counter()
     _sync(generate(jax.random.PRNGKey(1), bundle, rules, y))
     wall = time.perf_counter() - t0
-    _report_memory(label)
+    peak_gb = _report_memory(label)
+    if diag is not None:
+        diag["compile_s"] = round(compile_s, 1)
+        diag["wall_s"] = round(wall, 2)
+        if peak_gb is not None:
+            diag["hbm_peak_gb"] = peak_gb
     if steps_hint and wall < steps_hint * 0.002:
         # even a bare denoiser step is ~2 ms; anything faster per step
         # means the barrier was defeated — flag loudly rather than report
@@ -472,6 +502,41 @@ def _time_variant(generate, bundle, rules, y, label, steps_hint=None):
               f"treating as unreliable", flush=True)
         return None
     return wall
+
+
+# Study order after the headline probe, best value-per-second first
+# (VERDICT r3 item 1c: the feat-rollout number is the most valuable
+# un-recorded datum and must precede the unguided/reuse A/B).  Override
+# with BENCH_PRIORITY="key1,key2,..." — unknown keys are warned and
+# skipped, listed keys run in the given order, unlisted ones not at all.
+# Columns: variant key, log label, state key, steps-hint kind
+# ("ddim" = full ddim chain, "ddim_half" = reuse2 halves denoiser calls,
+# "probe" = respaced headline probe, or a fixed int), extrapolate the
+# probe wall to the full 1000-step chain?, min remaining budget (s).
+VARIANT_SPECS = [
+    ("ddim100", "ddim100 (full chain)",
+     "ddim_per_min", "ddim", False, 90),
+    ("ddim100_feat_rollout", "ddim100+feat-head+light-rollout",
+     "ddim_feat_rollout_per_min", "ddim", False, 90),
+    ("ddim100_feat_rollout_reuse2", "ddim100+feat-head+light-rollout+reuse2",
+     "ddim_feat_rollout_reuse_per_min", "ddim_half", False, 90),
+    ("ddim100_feat", "ddim100+feat-head",
+     "ddim_feat_per_min", "ddim", False, 90),
+    ("unguided_dpmpp20", "unguided dpmpp20",
+     "unguided_dpmpp_per_min", 20, False, 60),
+    ("unguided_ddim", "unguided ddim100",
+     "unguided_per_min", "ddim", False, 60),
+    ("unguided_ddim_reuse2", "unguided ddim100 + reuse2",
+     "unguided_reuse_per_min", "ddim_half", False, 60),
+    ("ddpm1000_feat", "ddpm1000+feat-head",
+     "feat_per_min", "probe", True, 90),
+    ("ddim100_light", "ddim100+light-decoder",
+     "ddim_light_per_min", "ddim", False, 90),
+    ("ddim100_light2", "ddim100+light-decoder+light-rollout",
+     "ddim_light2_per_min", "ddim", False, 90),
+    ("ddpm1000_light", "ddpm1000+light-decoder",
+     "light_per_min", "probe", True, 90),
+]
 
 
 def reference_model(geom):
@@ -506,12 +571,25 @@ def reference_model(geom):
 def main():
     # bench configs are known-good on this chip; a miscalibrated preflight
     # estimate must never kill the official record (unit tests cover the
-    # preflight itself)
+    # preflight itself).  Scoped set/restore: a leaked flag disarmed the
+    # HBM preflight for every test that ran after test_bench_smoke (the
+    # round-3 red-suite root cause).
+    prior_skip = os.environ.get("RGM_SKIP_HBM_PREFLIGHT")
     os.environ.setdefault("RGM_SKIP_HBM_PREFLIGHT", "1")
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
-    tiny = os.environ.get("BENCH_TINY") == "1"
+    hb_stop = _start_heartbeat()
+    try:
+        _run(budget_s=float(os.environ.get("BENCH_BUDGET_S", "480")),
+             tiny=os.environ.get("BENCH_TINY") == "1")
+    finally:
+        hb_stop.set()
+        if prior_skip is None:
+            os.environ.pop("RGM_SKIP_HBM_PREFLIGHT", None)
+        else:
+            os.environ["RGM_SKIP_HBM_PREFLIGHT"] = prior_skip
+
+
+def _run(budget_s, tiny):
     geom = Geometry(tiny)
-    _start_heartbeat()
     _stage("importing package / building variants")
     (variants, bundle, rules, y, denoiser_step, params,
      light_agreement, feat_agreement) = build(geom)
@@ -522,6 +600,7 @@ def main():
           f"{jax.devices()[0].platform}", flush=True)
 
     ref = reference_model(geom)
+    diags = {}       # per-variant {compile_s, wall_s, hbm_peak_gb}
     state = {
         "denoiser_ms": None,
         "ddim_per_min": None,
@@ -589,13 +668,20 @@ def main():
         if state["full_measured_per_min"] is not None:
             extras.append("ddpm1000_measured_full="
                           f"{state['full_measured_per_min']:.3f}/min")
-        _emit({
+        record = {
             "metric": "excerpts/min/chip (10.24s SCG all-rules, k=16, "
                       "DDPM-1000, " + ", ".join(extras) + ")",
             "value": round(ddpm_per_min, 4),
             "unit": "excerpts/min/chip",
             "vs_baseline": round(ddpm_per_min / ref["ref_per_min"], 2),
-        })
+        }
+        if diags:
+            record["variants"] = diags
+            peaks = [d["hbm_peak_gb"] for d in diags.values()
+                     if "hbm_peak_gb" in d]
+            if peaks:
+                record["hbm_peak_gb"] = max(peaks)
+        _emit(record)
 
     def remaining():
         return budget_s - _elapsed()
@@ -604,11 +690,13 @@ def main():
     probe_steps = geom.bench_guided + geom.bench_plain
     bench_wall = _time_variant(variants["ddpm1000"], bundle, rules, y,
                                "ddpm1000 (probe chain)",
-                               steps_hint=probe_steps)
+                               steps_hint=probe_steps,
+                               diag=diags.setdefault("ddpm1000", {}))
     if bench_wall is None:        # one retry, then refuse to invent numbers
         bench_wall = _time_variant(variants["ddpm1000"], bundle, rules, y,
                                    "ddpm1000 (probe chain, retry)",
-                                   steps_hint=probe_steps)
+                                   steps_hint=probe_steps,
+                                   diag=diags.setdefault("ddpm1000", {}))
     if bench_wall is None:
         raise RuntimeError("headline probe timing unreliable twice — "
                            "refusing to emit a fantasy headline")
@@ -639,122 +727,50 @@ def main():
         print(f"[bench {_elapsed():.0f}s] denoiser latency failed: {e!r}",
               flush=True)
 
-    # --- DDIM-100 (full chain, no extrapolation) ---------------------------
-    try:
-        if remaining() > 90:
-            ddim_wall = _time_variant(variants["ddim100"], bundle, rules, y,
-                                      "ddim100 (full chain)",
-                                      steps_hint=geom.ddim_steps)
-            if ddim_wall is not None:
-                state["ddim_per_min"] = geom.batch * 60.0 / ddim_wall
+    # --- variant study, priority order (VARIANT_SPECS / BENCH_PRIORITY) ----
+    specs = {s[0]: s for s in VARIANT_SPECS}
+    priority = os.environ.get("BENCH_PRIORITY")
+    if priority:
+        order = []
+        for key in (k.strip() for k in priority.split(",")):
+            if not key:
+                continue
+            if key in specs:
+                order.append(specs[key])
+            else:
+                print(f"[bench {_elapsed():.0f}s] BENCH_PRIORITY: unknown "
+                      f"variant '{key}' (known: "
+                      f"{', '.join(specs)})", flush=True)
+    else:
+        order = VARIANT_SPECS
+
+    for key, label, state_key, hint_kind, extrapolate, min_budget in order:
+        if key not in variants:
+            continue
+        try:
+            if remaining() <= min_budget:
+                print(f"[bench {_elapsed():.0f}s] budget: skip {label}",
+                      flush=True)
+                continue
+            if hint_kind == "ddim":
+                steps_hint = geom.ddim_steps
+            elif hint_kind == "ddim_half":
+                steps_hint = geom.ddim_steps // 2
+            elif hint_kind == "probe":
+                steps_hint = probe_steps
+            else:
+                steps_hint = int(hint_kind)
+            wall = _time_variant(variants[key], bundle, rules, y, label,
+                                 steps_hint=steps_hint,
+                                 diag=diags.setdefault(key, {}))
+            if wall is not None:
+                if extrapolate:
+                    wall = wall * scale
+                state[state_key] = geom.batch * 60.0 / wall
                 emit_record(ddpm_per_min)
-        else:
-            print(f"[bench {_elapsed():.0f}s] budget: skip ddim100",
+        except Exception as e:
+            print(f"[bench {_elapsed():.0f}s] {label} failed: {e!r}",
                   flush=True)
-    except Exception as e:
-        print(f"[bench {_elapsed():.0f}s] ddim100 failed: {e!r}", flush=True)
-
-    # --- unguided serving path, reuse A/B -----------------------------------
-    try:
-        if "unguided_ddim" in variants and remaining() > 60:
-            uw = _time_variant(variants["unguided_ddim"], bundle, rules, y,
-                               "unguided ddim100",
-                               steps_hint=geom.ddim_steps)
-            if uw is not None:
-                state["unguided_per_min"] = geom.batch * 60.0 / uw
-                emit_record(ddpm_per_min)
-        if "unguided_ddim_reuse2" in variants and remaining() > 60:
-            uwr = _time_variant(
-                variants["unguided_ddim_reuse2"], bundle, rules, y,
-                "unguided ddim100 + reuse2",
-                steps_hint=geom.ddim_steps // 2)
-            if uwr is not None:
-                state["unguided_reuse_per_min"] = geom.batch * 60.0 / uwr
-                emit_record(ddpm_per_min)
-        if "unguided_dpmpp20" in variants and remaining() > 60:
-            dw = _time_variant(
-                variants["unguided_dpmpp20"], bundle, rules, y,
-                "unguided dpmpp20", steps_hint=20)
-            if dw is not None:
-                state["unguided_dpmpp_per_min"] = geom.batch * 60.0 / dw
-                emit_record(ddpm_per_min)
-    except Exception as e:
-        print(f"[bench {_elapsed():.0f}s] unguided variants failed: {e!r}",
-              flush=True)
-
-    # --- rule-feature head variants ------------------------------------
-    # Best rows first: on a warm cache each XL variant still costs ~60-90s
-    # of executable load + first run, so under the default budget only the
-    # front of this list makes it into the driver's record.
-    try:
-        if "ddim100_feat_rollout_reuse2" in variants and remaining() > 90:
-            frr_wall = _time_variant(
-                variants["ddim100_feat_rollout_reuse2"], bundle, rules, y,
-                "ddim100+feat-head+light-rollout+reuse2",
-                steps_hint=geom.ddim_steps // 2)
-            if frr_wall is not None:
-                state["ddim_feat_rollout_reuse_per_min"] = (
-                    geom.batch * 60.0 / frr_wall)
-                emit_record(ddpm_per_min)
-        if "ddim100_feat_rollout" in variants and remaining() > 90:
-            fr_wall = _time_variant(
-                variants["ddim100_feat_rollout"], bundle, rules, y,
-                "ddim100+feat-head+light-rollout",
-                steps_hint=geom.ddim_steps)
-            if fr_wall is not None:
-                state["ddim_feat_rollout_per_min"] = (geom.batch * 60.0
-                                                      / fr_wall)
-                emit_record(ddpm_per_min)
-        if "ddim100_feat" in variants and remaining() > 90:
-            ddim_feat_wall = _time_variant(
-                variants["ddim100_feat"], bundle, rules, y,
-                "ddim100+feat-head", steps_hint=geom.ddim_steps)
-            if ddim_feat_wall is not None:
-                state["ddim_feat_per_min"] = (geom.batch * 60.0
-                                              / ddim_feat_wall)
-                emit_record(ddpm_per_min)
-        if "ddpm1000_feat" in variants and remaining() > 90:
-            feat_wall = _time_variant(variants["ddpm1000_feat"], bundle,
-                                      rules, y, "ddpm1000+feat-head",
-                                      steps_hint=probe_steps)
-            if feat_wall is not None:
-                state["feat_per_min"] = geom.batch * 60.0 / (feat_wall
-                                                             * scale)
-                emit_record(ddpm_per_min)
-    except Exception as e:
-        print(f"[bench {_elapsed():.0f}s] feat variants failed: {e!r}",
-              flush=True)
-
-    # --- light scoring decoder variants ------------------------------------
-    try:
-        if "ddpm1000_light" in variants and remaining() > 90:
-            light_wall = _time_variant(variants["ddpm1000_light"], bundle,
-                                       rules, y, "ddpm1000+light-decoder",
-                                       steps_hint=probe_steps)
-            if light_wall is not None:
-                state["light_per_min"] = geom.batch * 60.0 / (light_wall
-                                                              * scale)
-                emit_record(ddpm_per_min)
-        if "ddim100_light" in variants and remaining() > 90:
-            ddim_light_wall = _time_variant(
-                variants["ddim100_light"], bundle, rules, y,
-                "ddim100+light-decoder", steps_hint=geom.ddim_steps)
-            if ddim_light_wall is not None:
-                state["ddim_light_per_min"] = (geom.batch * 60.0
-                                               / ddim_light_wall)
-                emit_record(ddpm_per_min)
-        if "ddim100_light2" in variants and remaining() > 90:
-            light2_wall = _time_variant(
-                variants["ddim100_light2"], bundle, rules, y,
-                "ddim100+light-decoder+light-rollout",
-                steps_hint=geom.ddim_steps)
-            if light2_wall is not None:
-                state["ddim_light2_per_min"] = (geom.batch * 60.0
-                                                / light2_wall)
-                emit_record(ddpm_per_min)
-    except Exception as e:
-        print(f"[bench {_elapsed():.0f}s] light variants failed: {e!r}",
-              flush=True)
 
     # --- TRUE full DDPM-1000 chain (opt-in; ~10 min wall) ------------------
     # Segmented into bounded dispatches (build()): a single ~6-min dispatch

@@ -235,6 +235,35 @@ def make_train_step(
     return step_fn
 
 
+def make_eval_loss_step(
+    model_apply: Callable,
+    tables: Tables,
+    config: TrainConfig,
+):
+    """Forward-only diffusion loss on a held-out batch under EMA params.
+
+    The quantitative overfitting signal of the reference's run_step_eval
+    (train_util.py:222-254): same ``training_losses`` as the train step, no
+    gradient, logged under ``eval_*`` keys.  Returned fn:
+    ``(ema_params, latents, t, y, rng) -> terms`` with per-example arrays.
+    """
+
+    def eval_fn(ema_params, latents, t, y, rng):
+        noise_rng, dropout_rng = jax.random.split(rng)
+        noise = jax.random.normal(noise_rng, latents.shape, latents.dtype)
+
+        def model_fn(x, model_t, **kw):
+            return model_apply(ema_params, x, model_t, y, dropout_rng)
+
+        return gd.training_losses(
+            tables, model_fn, latents, t, noise,
+            mean_type=config.mean_type, var_type=config.var_type,
+            loss_type=config.loss_type,
+        )
+
+    return eval_fn
+
+
 def log_loss_dict(num_timesteps: int, ts: np.ndarray, losses: Dict[str, np.ndarray]):
     """Quartile-binned loss logging (train_util.py:469-475)."""
     for key, values in losses.items():
@@ -265,6 +294,7 @@ class TrainLoop:
         schedule_sampler: Optional[ScheduleSampler] = None,
         checkpoint_dir: Optional[str] = None,
         eval_fn: Optional[Callable] = None,
+        eval_data=None,
         mesh=None,
         seed: int = 0,
     ):
@@ -277,11 +307,16 @@ class TrainLoop:
         )
         self.checkpoint_dir = checkpoint_dir
         self.eval_fn = eval_fn
+        self.eval_data = eval_data
         self.rng = np.random.default_rng(seed)
         self.jax_rng = jax.random.PRNGKey(seed)
 
         optimizer = make_optimizer(config)
         step_fn = make_train_step(model_apply, tables, optimizer, config)
+        self.eval_loss_fn = (
+            jax.jit(make_eval_loss_step(model_apply, tables, config))
+            if eval_data is not None else None
+        )
         self.mesh = mesh
         self._batch_sharding = None
         if mesh is not None:
@@ -348,8 +383,11 @@ class TrainLoop:
                 "params": init_params,
                 # distinct buffers: the step donates the state, and aliased
                 # params/ema leaves would trip XLA's donation checker
+                # (jnp.asarray is a no-op when the dtype already matches —
+                # copy=True forces fresh buffers)
                 "ema_params": jax.tree_util.tree_map(
-                    lambda a: jnp.asarray(a, dtype=ema_dtype), init_params
+                    lambda a: jnp.array(a, dtype=ema_dtype, copy=True),
+                    init_params
                 ),
                 "opt_state": optimizer.init(init_params),
                 "step": jnp.zeros((), dtype=jnp.int32),
@@ -434,8 +472,9 @@ class TrainLoop:
 
     # -- main loop ----------------------------------------------------------
 
-    def run_step(self, batch: np.ndarray, cond: Dict[str, np.ndarray]):
-        cfg = self.config
+    def _prepare_batch(self, batch: np.ndarray, cond: Dict[str, np.ndarray]):
+        """Shared train/eval preprocessing: VAE-encode + recombine, repeat
+        labels by encode_rep, sample (t, weights), shard onto the mesh."""
         batch = jnp.asarray(batch)
         if self.vae_encode is not None:
             latents = self._encode(self.vae_params, batch)
@@ -453,6 +492,10 @@ class TrainLoop:
             latents, t, w = (jax.device_put(a, bs) for a in (latents, t, w))
             if y is not None:
                 y = jax.device_put(y, bs)
+        return latents, t_np, t, w_np, w, y
+
+    def run_step(self, batch: np.ndarray, cond: Dict[str, np.ndarray]):
+        latents, t_np, t, w_np, w, y = self._prepare_batch(batch, cond)
         self.jax_rng, step_rng = jax.random.split(self.jax_rng)
         self.state, metrics = self.step_fn(
             self.state, latents, t, w, y, step_rng
@@ -470,6 +513,20 @@ class TrainLoop:
         logger.logkv("param_norm", float(metrics["param_norm"]))
         return metrics
 
+    def run_step_eval(self, batch: np.ndarray, cond: Dict[str, np.ndarray]):
+        """Held-out batch loss under EMA params, logged as ``eval_*``
+        quartile keys (reference run_step_eval, train_util.py:222-254)."""
+        latents, t_np, t, w_np, _, y = self._prepare_batch(batch, cond)
+        self.jax_rng, eval_rng = jax.random.split(self.jax_rng)
+        terms = self.eval_loss_fn(
+            self.state["ema_params"], latents, t, y, eval_rng
+        )
+        log_loss_dict(
+            self.tables.num_timesteps, t_np,
+            {f"eval_{k}": np.asarray(v) * w_np for k, v in terms.items()},
+        )
+        return terms
+
     def run_loop(self, max_steps: Optional[int] = None):
         cfg = self.config
         while (
@@ -483,6 +540,11 @@ class TrainLoop:
                     self.run_step(batch, cond)
             else:
                 self.run_step(batch, cond)
+            if self.eval_data is not None and self.eval_loss_fn is not None \
+                    and cfg.eval_interval > 0 \
+                    and self.step % cfg.eval_interval == 0:
+                batch_eval, cond_eval = next(self.eval_data)
+                self.run_step_eval(batch_eval, cond_eval)
             if self.eval_fn is not None and cfg.eval_interval > 0 and \
                     self.step % cfg.eval_interval == 0:
                 self.eval_fn(self)

@@ -79,6 +79,20 @@ def main():
         seed=args.seed,
     )
 
+    # held-out set for the EMA eval loss (reference train_dit.py:74-79
+    # loads data_dir+"_test.csv" unconditionally; here opt-in by flag)
+    eval_data = None
+    if args.eval_data_dir:
+        eval_data = load_data(
+            data_dir=args.eval_data_dir,
+            batch_size=args.batch_size // args.encode_rep,
+            class_cond=args.class_cond,
+            image_size=args.pr_image_size,
+            shard=jax.process_index(),
+            num_shards=jax.process_count(),
+            seed=args.seed + 1,
+        )
+
     config = TrainConfig(
         lr=args.lr,
         optimizer=args.optimizer,
@@ -134,6 +148,7 @@ def main():
         ),
         checkpoint_dir=os.path.join(logger.get_dir(), "checkpoints"),
         eval_fn=eval_fn,
+        eval_data=eval_data,
         seed=args.seed,
     )
     if args.resume_checkpoint:
@@ -154,6 +169,7 @@ def create_argparser():
         project="music-diffusion",
         dir="",
         data_dir="",
+        eval_data_dir="",
         model="DiTRotary_XL_8",
         schedule_sampler="uniform",
         lr=1e-4,

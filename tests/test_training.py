@@ -189,6 +189,46 @@ def test_loss_second_moment_resampler_warmup_and_weighting():
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
 
 
+def test_loss_second_moment_ring_matches_sequential_semantics():
+    """Property test pinning the vectorized ring buffer: after any update
+    stream, weights equal sqrt(mean of the squares of the most recent
+    ``history_per_term`` losses per t), mixed with a uniform floor."""
+    n, h, u = 7, 3, 0.01
+    s = LossSecondMomentResampler(n, history_per_term=h, uniform_prob=u)
+    rng = np.random.default_rng(7)
+    seen = {t: [] for t in range(n)}   # naive sequential model
+    for _ in range(20):
+        batch = rng.integers(0, n, size=rng.integers(1, 12))
+        losses = rng.uniform(0.1, 5.0, size=batch.size)
+        s.update_with_all_losses(batch, losses)
+        for t, lo in zip(batch.tolist(), losses.tolist()):
+            seen[t].append(lo)
+        if all(len(v) >= h for v in seen.values()):
+            expected_rms = np.array(
+                [np.sqrt(np.mean(np.square(seen[t][-h:]))) for t in range(n)]
+            )
+            p = expected_rms / expected_rms.sum()
+            np.testing.assert_allclose(
+                s.weights(), (1 - u) * p + u / n, rtol=1e-12)
+        else:
+            np.testing.assert_allclose(s.weights(), 1.0)
+
+
+def test_loss_second_moment_repeated_t_in_one_batch():
+    """A single batch with > history_per_term observations of one t keeps
+    only the most recent h of them (in-batch overwrite wraps the ring)."""
+    h = 2
+    s = LossSecondMomentResampler(4, history_per_term=h, uniform_prob=0.0)
+    # warm every t, then flood t=1 with 5 observations in one call
+    s.update_with_all_losses([0, 1, 2, 3, 0, 1, 2, 3], [1.0] * 8)
+    s.update_with_all_losses([1] * 5, [10.0, 20.0, 30.0, 4.0, 3.0])
+    w = s.weights()
+    expected_rms = np.array(
+        [1.0, np.sqrt((4.0**2 + 3.0**2) / 2), 1.0, 1.0])
+    np.testing.assert_allclose(w, expected_rms / expected_rms.sum(),
+                               rtol=1e-12)
+
+
 def test_create_named_schedule_sampler():
     assert isinstance(create_named_schedule_sampler("uniform", 10),
                       UniformSampler)
