@@ -57,10 +57,16 @@ flips isolate window tagging):
      candidates must use the same setting.
   3. Key spelling/choice: enharmonic keys are reported with music21's
      conventional spellings via the fixed _MAJOR/_MINOR_PC2KEY tables.
-     Measured detection on the corpus: **major 1.000, natural-minor
-     0.333** — KK correlation picks the relative/dominant key on short
-     modally-ambiguous natural-minor material (music21's weighted
-     certainty drifts the same way, but not identically).
+     Raw KK correlation picks the relative major on short modally-
+     ambiguous natural-minor material (measured 0.333 minor detection);
+     ``classify_keys`` therefore re-decides the relative major/minor pair
+     by counting windows whose best triad is each candidate's sounded
+     tonic chord (first-window tie-break).  Measured after mitigation
+     (r4): **major 1.000 at every offset; natural-minor 1.000 at offsets
+     0-56 (0.861 at the degenerate half-window tie), 0.667 on the
+     seventh-heavy minor corpus** — strictly dominates the raw-KK 0.333
+     (music21's weighted certainty drifts the same way, but not
+     identically).
   4. Passing tones: chroma summation dilutes ornaments.  Measured: scale-
      step ornament runs cause **zero tag flips** and keep accuracy 1.000
      under both template sets.
@@ -187,17 +193,81 @@ def _pearson(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return num / den
 
 
-def classify_keys(piano_roll: jnp.ndarray):
+def _window_triads(active: jnp.ndarray, window_cols: int):
+    """Per-window triad match on a (B, 128, L) activity tensor.
+
+    Returns (root_pc (B,W), quality (B,W) 0=maj/1=min/2=dim, empty (B,W)).
+    """
+    num_windows = active.shape[-1] // window_cols
+    chroma_t = _chroma(active[..., : num_windows * window_cols])
+    chroma_w = chroma_t.reshape(
+        chroma_t.shape[0], 12, num_windows, window_cols
+    ).sum(axis=-1)
+    chroma_w = jnp.swapaxes(chroma_w, 1, 2)                  # (B,W,12)
+    triads = jnp.asarray(_TRIADS)
+    triads_n = triads / jnp.linalg.norm(triads, axis=-1, keepdims=True)
+    cn = chroma_w / (jnp.linalg.norm(chroma_w, axis=-1, keepdims=True)
+                     + 1e-12)
+    best = jnp.argmax(jnp.einsum("bwc,tc->bwt", cn, triads_n), axis=-1)
+    empty = chroma_w.sum(axis=-1) < 0.5
+    # a window needs >= 2 distinct pitch classes before its "triad" match
+    # means anything (a lone melody note ties across every containing triad
+    # and argmax picks an arbitrary root)
+    votable = (~empty) & ((chroma_w > 0.5).sum(axis=-1) >= 2)
+    return best % 12, best // 12, votable
+
+
+def classify_keys(
+    piano_roll: jnp.ndarray,
+    fs: int = 100,
+    window_size: float = 1.28,
+    disambiguate_relative: bool = True,
+):
     """Krumhansl-Schmuckler key finding on the whole excerpt.
 
-    Returns (key_index (B,), correlation (B,)) where key_index follows
-    KEY_DICT (24 == "no key" for an empty roll).
+    Returns (key_index (B,), correlation (B,), profile_row (B,)) where
+    key_index follows KEY_DICT (24 == "no key" for an empty roll).
+
+    ``disambiguate_relative`` (divergence class 3 mitigation): a natural-
+    minor excerpt shares its pitch-class set with its relative major, and
+    raw KK correlation drifts to the major side on short modally-ambiguous
+    material (measured natural-minor detection 0.333 on the 24-key study
+    corpus).  After the correlation pick, the relative major/minor pair is
+    re-decided by which tonic *chord* is actually sounded: count the 1.28 s
+    windows whose best-matching triad is the candidate's tonic triad
+    (major triad at the major tonic vs minor triad at the relative-minor
+    tonic), tie-broken by the first non-empty window's chord; a residual
+    tie keeps the correlation winner.  Measured (scripts/
+    chord_divergence_study.py): natural-minor 0.333 -> 1.000 at every
+    non-degenerate phase offset (0.861 at the exact half-window tie),
+    seventh-heavy minor 0.667, major stays 1.000 everywhere.
     """
     active = _active_notes(piano_roll)
     chroma = _chroma(active).sum(axis=-1)                     # (B, 12)
     profiles = jnp.asarray(_KEY_PROFILES)                     # (24, 12)
     corr = _pearson(chroma[:, None, :], profiles[None, :, :])  # (B, 24)
     best = jnp.argmax(corr, axis=-1)                          # (B,)
+
+    window_cols = int(round(window_size * fs))
+    if disambiguate_relative and active.shape[-1] >= window_cols:
+        root, quality, votable = _window_triads(active, window_cols)
+        maj_pc = jnp.where(best < 12, best, (best + 3) % 12)
+        min_pc = (maj_pc + 9) % 12
+        n_maj = (votable & (quality == 0)
+                 & (root == maj_pc[:, None])).sum(axis=-1)
+        n_min = (votable & (quality == 1)
+                 & (root == min_pc[:, None])).sum(axis=-1)
+        first = jnp.argmax(votable, axis=-1)
+        f_ok = jnp.take_along_axis(votable, first[:, None], axis=-1)[:, 0]
+        f_root = jnp.take_along_axis(root, first[:, None], axis=-1)[:, 0]
+        f_qual = jnp.take_along_axis(quality, first[:, None], axis=-1)[:, 0]
+        s_maj = 2 * n_maj + (f_ok & (f_root == maj_pc) & (f_qual == 0))
+        s_min = 2 * n_min + (f_ok & (f_root == min_pc) & (f_qual == 1))
+        best = jnp.where(
+            s_min > s_maj, 12 + min_pc,
+            jnp.where(s_maj > s_min, maj_pc, best),
+        )
+
     best_corr = jnp.take_along_axis(corr, best[:, None], axis=-1)[:, 0]
     key_idx = jnp.asarray(_PROFILE_KEYIDX)[best]
     is_empty = chroma.sum(axis=-1) < 0.5
@@ -233,7 +303,9 @@ def get_chords(
     num_windows = length // window_cols
     active = active[..., : num_windows * window_cols]
 
-    key_idx, key_corr, profile_row = classify_keys(piano_roll)
+    key_idx, key_corr, profile_row = classify_keys(
+        piano_roll, fs=fs, window_size=window_size
+    )
     if given_key is not None:
         profile_row = jnp.broadcast_to(
             jnp.asarray(given_key, dtype=jnp.int32), profile_row.shape

@@ -192,23 +192,33 @@ def main():
               f"{float((t_clean != t_orn).mean()):.3f}, ornamented accuracy "
               f"{float((t_orn == truth_p).mean()):.3f}")
 
-    # --- key detection on the corpus ----------------------------------------
-    _, key_idx, _ = get_chords(rolls_c, return_key=True)
+    # --- key detection on the corpus (class 3) ------------------------------
     from rule_guided_music_tpu.rules.chord import (
-        _MAJOR_PC2KEY, _MINOR_PC2KEY)
-    expect = np.array([
-        (_MAJOR_PC2KEY if k < 12 else _MINOR_PC2KEY)[int(k) % 12]
-        for k in np.asarray(keys_c)
-    ])
-    got = np.asarray(key_idx)
-    minor_mask = np.asarray(keys_c) >= 12
-    acc = float((got == expect).mean())
-    acc_maj = float((got[~minor_mask] == expect[~minor_mask]).mean())
-    acc_min = float((got[minor_mask] == expect[minor_mask]).mean())
-    print(f"\nkey detection accuracy on the corpus: {acc:.3f} "
-          f"(major {acc_maj:.3f}, natural-minor {acc_min:.3f}; class-3 "
-          f"divergence — KK correlation picks relative/dominant keys on "
-          f"short modally-ambiguous natural-minor material)")
+        _MAJOR_PC2KEY, _MINOR_PC2KEY, classify_keys)
+
+    def key_acc(rolls, keys, disambiguate):
+        key_idx, _, _ = classify_keys(
+            rolls, disambiguate_relative=disambiguate)
+        expect = np.array([
+            (_MAJOR_PC2KEY if k < 12 else _MINOR_PC2KEY)[int(k) % 12]
+            for k in np.asarray(keys)
+        ])
+        got = np.asarray(key_idx)
+        minor_mask = np.asarray(keys) >= 12
+        return (float((got[~minor_mask] == expect[~minor_mask]).mean()),
+                float((got[minor_mask] == expect[minor_mask]).mean()))
+
+    print("\nkey detection accuracy (major / natural-minor), raw KK vs "
+          "relative-pair disambiguation (classify_keys default):")
+    for label, kw in [("clean", {}), ("clean off=48", {"offset": 48}),
+                      ("clean off=64 (degenerate tie)", {"offset": 64}),
+                      ("sevenths", {"sevenths": True}),
+                      ("ornamented", {"passing": True, "seed": 1})]:
+        rolls, _, keys = corpus(**kw)
+        raw = key_acc(rolls, keys, False)
+        fix = key_acc(rolls, keys, True)
+        print(f"  {label:30s} raw {raw[0]:.3f}/{raw[1]:.3f} -> "
+              f"disambiguated {fix[0]:.3f}/{fix[1]:.3f}")
 
 
 if __name__ == "__main__":

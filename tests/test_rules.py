@@ -143,6 +143,29 @@ def test_key_detection_a_minor():
     assert int(key_idx[0]) == chord.KEY_DICT["a minor"]
 
 
+def test_key_detection_minor_progression_not_relative_major():
+    """i-VII-VI-V natural-minor progressions must detect the minor key,
+    not its relative major (divergence class 3 mitigation: raw KK picked
+    the relative major on this material — measured 0.333 minor detection
+    before, 1.000 after; scripts/chord_divergence_study.py)."""
+    minor_scale = [0, 2, 3, 5, 7, 8, 10]
+    for tonic, name in [(9, "a minor"), (4, "e minor"), (2, "d minor")]:
+        notes = []
+        for i, deg in enumerate([1, 7, 6, 5, 1, 7, 6, 5]):
+            root = 48 + tonic + minor_scale[deg - 1]
+            third = 3 if deg in (1, 4, 5) else 4      # i/iv/v minor else major
+            for p in (root, root + third, root + 7):
+                notes.append((p, i * 128, (i + 1) * 128))
+        roll = make_roll(length=1024, notes=notes)
+        key_idx, _, _ = chord.classify_keys(roll)
+        assert int(key_idx[0]) == chord.KEY_DICT[name], name
+        # raw KK (disambiguation off) drifts to the relative major here —
+        # pin the contrast so the mitigation stays load-bearing
+        raw_idx, _, _ = chord.classify_keys(roll,
+                                            disambiguate_relative=False)
+        assert int(raw_idx[0]) != chord.KEY_DICT[name]
+
+
 def test_key_detection_empty_is_no_key():
     roll = make_roll(length=1024)
     key_idx, corr, _ = chord.classify_keys(roll)
