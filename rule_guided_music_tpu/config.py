@@ -151,6 +151,9 @@ def sampler_config_from_yaml(
             num_samples=int(_ns_get(scg_ns, "num_samples", 16)),
             weights=weights,
             dc_base=dc_base,
+            # beyond-reference hybrid selection: feature head ranks all k,
+            # the real decoder re-ranks the top-m (scg.prefilter in YAML)
+            prefilter=int(_ns_get(scg_ns, "prefilter", 0) or 0),
         )
 
     edit = None

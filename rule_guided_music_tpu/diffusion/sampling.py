@@ -57,6 +57,16 @@ class SCGConfig:
     dc_base: int = 0                # windowed selection base (latent cols); 0 = off
     decode_chunks: int = 1          # serialize the candidate decode+scoring in
                                     # this many groups (lax.map) to cap HBM use
+    # Hybrid "trust-but-verify" selection: the rule-feature head ranks all
+    # k candidates (decode-free), then only the top `prefilter` survivors
+    # are decoded and re-ranked by the real rule programs.  Caps the
+    # decode bill at prefilter/k of full SCG while anchoring the final
+    # pick on decoded evidence — a pure feature-head argmin at k=16 lets
+    # selection pressure exploit head errors (measured: all-rules nd loss
+    # 9.99 vs 3.61 unguided, docs/allrules_gate_study.json), which the
+    # decode re-rank removes.  0 = off.  Requires BOTH scoring_feature_fn
+    # and a decode path; incompatible with dc_base windowed selection.
+    prefilter: int = 0
 
     def weight(self, rule_name: str) -> float:
         return dict(self.weights).get(rule_name, 1.0)
@@ -197,6 +207,14 @@ def _scg_select(
     # model+decode groups pipeline better than one giant decode buffer
     # (0.582 unchunked -> 0.712 at 32 groups; decode-only chunking 0.66).
     n_chunks = max(int(config.scg.decode_chunks), 1)
+
+    m = int(scg.prefilter or 0)
+    if (m > 0 and scoring_feature_fn is not None and decode_fn is not None
+            and scg.dc_base <= 0):
+        return _scg_select_prefilter(
+            config, tables, rollout_fn, decode_fn, scoring_feature_fn,
+            rules, candidates, flat, t_k, y_k, has_y, n_chunks, k, b,
+            min(m, k))
     if n_chunks > 1 and (k * b) % n_chunks == 0:
         g = k * b // n_chunks
         grouped = (
@@ -277,6 +295,106 @@ def _scg_select(
                 total_log_prob.max() - total_log_prob.min()
             )
 
+    return selected, record
+
+
+def _scg_select_prefilter(
+    config: SamplerConfig,
+    tables: Tables,
+    rollout_fn: Callable,
+    decode_fn: Callable,
+    scoring_feature_fn: Callable,
+    rules: Mapping[str, jnp.ndarray],
+    candidates: jnp.ndarray,
+    flat: jnp.ndarray,
+    t_k: jnp.ndarray,
+    y_k: Optional[jnp.ndarray],
+    has_y: bool,
+    n_chunks: int,
+    k: int,
+    b: int,
+    m: int,
+):
+    """Hybrid SCG selection (SCGConfig.prefilter): the rule-feature head
+    scores all k candidate rollouts decode-free, the top-m survivors are
+    decoded and re-ranked by the real FUNC_DICT/LOSS_DICT programs, and
+    the final pick is the decode-ranked best.
+
+    Rationale: a pure head argmin is adversarial to its own errors — the
+    argmin over k perturbations lands exactly where the head UNDER-
+    predicts loss, so head noise becomes selection bias (Goodhart).  The
+    decode re-rank bounds that failure: the worst case is a top-m set
+    that misses the global-best candidate, never an actively bad pick.
+    Decode cost drops from k to m per step.  Selection-only, like every
+    scoring substitute (reference semantics: gaussian_diffusion.py:518-560
+    always decodes all k)."""
+    scg = config.scg
+
+    def rollout_x0(args):
+        flat_g, t_g, y_g = args
+        model_out = rollout_fn(flat_g, tables.model_t[t_g],
+                               y_g if has_y else None)
+        eps = _split_eps(model_out, config.var_type)
+        x0 = gd.predict_xstart_from_eps(tables, flat_g, t_g, eps)
+        if config.edit is not None:
+            x0 = x0[:, :, config.edit.l_start:config.edit.l_end, :]
+        return x0
+
+    if n_chunks > 1 and (k * b) % n_chunks == 0:
+        g = k * b // n_chunks
+        grouped = (
+            flat.reshape(n_chunks, g, *flat.shape[1:]),
+            t_k.reshape(n_chunks, g),
+            (y_k.reshape(n_chunks, g) if has_y else
+             jnp.zeros((n_chunks, g), dtype=jnp.int32)),
+        )
+        x0_all = jax.lax.map(rollout_x0, grouped)
+        x0_all = x0_all.reshape(k * b, *x0_all.shape[2:])
+    else:
+        x0_all = rollout_x0((flat, t_k, y_k))
+
+    feats = scoring_feature_fn(x0_all)
+    head_lp = 0.0
+    for rule_name, target in rules.items():
+        head_lp = head_lp + (
+            -LOSS_DICT[rule_name](feats[rule_name], _tile(target, k))
+            * scg.weight(rule_name))
+    head_lp = head_lp.reshape(k, b)
+
+    top = jax.lax.top_k(head_lp.T, m)[1].T                    # (m, B)
+    x0_kb = x0_all.reshape(k, b, *x0_all.shape[1:])
+    idx = top.reshape(m, b, *([1] * (x0_all.ndim - 1)))
+    x0_top = jnp.take_along_axis(x0_kb, idx, axis=0).reshape(
+        m * b, *x0_all.shape[1:])
+
+    dec_chunks = n_chunks if (n_chunks > 1 and (m * b) % n_chunks == 0) else 1
+    if dec_chunks > 1:
+        gsz = m * b // dec_chunks
+        decoded = jax.lax.map(
+            decode_fn, x0_top.reshape(dec_chunks, gsz, *x0_top.shape[1:]))
+        decoded = decoded.reshape(m * b, *decoded.shape[2:])
+    else:
+        decoded = decode_fn(x0_top)
+
+    record: Dict[str, jnp.ndarray] = {}
+    full_lp = 0.0
+    for rule_name, target in rules.items():
+        gen_rule = FUNC_DICT[rule_name](decoded)
+        lp = -LOSS_DICT[rule_name](gen_rule, _tile(target, m))
+        if config.record:
+            record[f"loss/{rule_name}"] = -lp.reshape(m, b).max(axis=0).mean()
+        full_lp = full_lp + lp * scg.weight(rule_name)
+    full_lp = full_lp.reshape(m, b)
+
+    sel = jnp.argmax(full_lp, axis=0)                         # (B,)
+    max_ind = jnp.take_along_axis(top, sel[None], axis=0)[0]  # (B,)
+    selected = candidates[max_ind, jnp.arange(b)]
+    if config.record:
+        best = jnp.take_along_axis(full_lp, sel[None], axis=0)[0]
+        record["log_prob"] = best.mean()
+        record["loss_std"] = head_lp.std()
+        record["loss_range"] = jnp.abs(best.mean() - head_lp.min())
+        record["candidate_log_prob"] = head_lp
     return selected, record
 
 

@@ -342,6 +342,7 @@ DiT_models = {
     "DiTRotary_B_16": _rot(12, 768, 16, 12), "DiTRotary_B_8": _rot(12, 768, 8, 12),
     "DiTRotary_XL_16": _rot(28, 1152, 16, 16), "DiTRotary_XL_8": _rot(28, 1152, 8, 16),
     # small configs for tests/smoke runs (not in the reference zoo)
+    "DiTRotary_S_8": _rot(12, 384, 8, 6),
     "DiTRotary_XS_8": _rot(2, 64, 8, 2),
     "DiT-B/4-cls": _cls(12, 768, 4, 12), "DiT-B/8-cls": _cls(12, 768, 8, 12),
     "DiT-S/4-cls": _cls(12, 384, 4, 6), "DiT-S/2-cls": _cls(12, 384, 2, 6),

@@ -125,9 +125,17 @@ class VAEBundle:
     @classmethod
     def create(
         cls, vae_path: str = "", scale_factor: float = DEFAULT_SCALE_FACTOR,
-        dtype=jnp.bfloat16, seed: int = 1,
+        dtype=jnp.bfloat16, seed: int = 1, arch: Optional[Dict[str, Any]] = None,
     ) -> "VAEBundle":
-        vae = AutoencoderKL(dtype=dtype)
+        """``arch`` overrides AutoencoderKL constructor fields (ch, ch_mult,
+        num_res_blocks, ...) — the reference selects VAE geometry through an
+        OmegaConf yaml named by ``--vae`` (load_utils.py:20-31); here the
+        default IS the production f8 config and ``arch`` is the override
+        hook (CLIs expose it as ``--vae_arch`` JSON)."""
+        arch = dict(arch or {})
+        if "ch_mult" in arch:
+            arch["ch_mult"] = tuple(arch["ch_mult"])
+        vae = AutoencoderKL(dtype=dtype, **arch)
         params = _init_on_host(
             vae.init, jax.random.PRNGKey(seed), jnp.zeros((1, 3, 128, 128)),
             rng=jax.random.PRNGKey(seed + 1),
@@ -424,8 +432,11 @@ def make_sample_fn(
             # decoder-only module: roughly half an AutoencoderKL
             param_count += vae_param_count(scoring_vae_model.ch) // 2
         # with a rule-feature head the candidate decode disappears from the
-        # SCG loop entirely (head activations are negligible next to it)
-        scg_uses_decode = scoring_feature_model is None
+        # SCG loop entirely (head activations are negligible next to it) —
+        # unless prefilter re-ranking decodes the top-m survivors, which we
+        # model conservatively as a full-k decode (true cost: m/k of that)
+        scg_uses_decode = (scoring_feature_model is None
+                           or scg.prefilter > 0)
         rollout_hidden = hidden
         if (scoring_denoiser_model is not None
                 and hasattr(scoring_denoiser_model, "hidden_size")):

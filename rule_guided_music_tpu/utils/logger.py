@@ -99,6 +99,14 @@ class CSVOutputFormat(KVWriter):
         self.filename = filename
         self.keys = []
         self.sep = ","
+        # resume-append: adopt an existing header so a restarted run
+        # extends the file instead of rewriting the header from scratch
+        # (which would misalign/drop the prior run's columns)
+        if os.path.exists(filename):
+            with open(filename) as f:
+                header = f.readline().strip()
+            if header:
+                self.keys = header.split(self.sep)
         open(filename, "a").close()
 
     def writekvs(self, kvs):

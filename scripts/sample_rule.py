@@ -73,7 +73,8 @@ def main():
     tables = schedule.tables()
 
     vae = pipeline.VAEBundle.create(
-        vae_path=args.vae_path, scale_factor=args.scale_factor
+        vae_path=args.vae_path, scale_factor=args.scale_factor,
+        arch=_parse_vae_arch(args.vae_arch),
     ) if args.vae else None
 
     classifier_metas = []
@@ -308,6 +309,16 @@ def _make_segmented_generate(sample_fn_kwargs, num_steps, n_seg, gen_shape):
     return generate
 
 
+def _parse_vae_arch(spec: str):
+    """--vae_arch '{"ch": 32, "ch_mult": [1,1,2,2], "num_res_blocks": 1}'
+    -> AutoencoderKL constructor overrides ('' = production f8 geometry)."""
+    if not spec:
+        return None
+    import json
+
+    return json.loads(spec)
+
+
 def _make_mesh_from_arg(spec: str):
     """'dp[,fsdp[,tp]]' -> parallel.make_mesh; '' / unset -> None."""
     if not spec:
@@ -331,6 +342,9 @@ def create_argparser():
         model_path="",
         vae="kl/f8-all-onset",
         vae_path="",
+        # JSON AutoencoderKL geometry overrides, e.g. tiny test fixtures:
+        # '{"ch": 32, "ch_mult": [1,1,2,2], "num_res_blocks": 1}'
+        vae_arch="",
         clip_denoised=False,
         num_samples=128,
         batch_size=16,

@@ -61,7 +61,13 @@ def main():
     schedule = make_schedule(args.noise_schedule, args.diffusion_steps)
     tables = schedule.tables()
 
-    vae = VAEBundle.create(vae_path=args.vae_path, scale_factor=args.scale_factor)
+    vae_arch = None
+    if args.vae_arch:
+        import json
+
+        vae_arch = json.loads(args.vae_arch)
+    vae = VAEBundle.create(vae_path=args.vae_path,
+                           scale_factor=args.scale_factor, arch=vae_arch)
 
     assert args.batch_size >= args.encode_rep and \
         args.batch_size % args.encode_rep == 0, (
@@ -191,6 +197,8 @@ def create_argparser():
         class_cond=True,
         class_dropout_prob=0.1,
         vae_path="",
+        # JSON AutoencoderKL geometry overrides ('' = production f8)
+        vae_arch="",
         scale_factor=1.2465,
         pr_image_size=2560,
         encode_rep=4,

@@ -22,3 +22,14 @@ import jax  # noqa: E402
 # runs on the 8-device virtual CPU mesh and never touches the real chip.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache for the CPU suite: the heavy jit programs
+# (k=16 SCG chains in the gate tests, pipeline/collage scans) compile once
+# per machine instead of once per pytest invocation.  Keyed by backend +
+# XLA flags, so the 8-device virtual mesh entries never collide with the
+# TPU cache (which uses .jax_cache via JAX_COMPILATION_CACHE_DIR).
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
