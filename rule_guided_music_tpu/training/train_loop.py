@@ -454,7 +454,12 @@ class TrainLoop:
                 )
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(path, target=jax.device_get(self.state))
-        self.state = jax.device_put(restored)
+        # re-establish the pre-restore shardings: a bare device_put would
+        # commit every leaf to the default device, silently un-FSDPing a
+        # mesh run on resume (and failing outright on multihost, where a
+        # global array cannot live on one local device)
+        shardings = jax.tree_util.tree_map(lambda a: a.sharding, self.state)
+        self.state = jax.device_put(restored, shardings)
         self.resume_step = int(restored["step"])
         m = re.search(r"step_(\d+)", path)
         if m:

@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
 import jax
 import jax.numpy as jnp
 
+from scripts.train_dit import build_mesh
 from rule_guided_music_tpu.config import add_dict_to_argparser, diffusion_defaults
 from rule_guided_music_tpu.data.datasets import load_data
 from rule_guided_music_tpu.diffusion import gaussian as gd
@@ -90,6 +91,7 @@ def main():
             args.schedule_sampler, tables.num_timesteps
         ),
         checkpoint_dir=os.path.join(logger.get_dir(), "checkpoints"),
+        mesh=build_mesh(args),
         seed=args.seed,
     )
     if args.resume:
@@ -126,6 +128,9 @@ def create_argparser():
         resume=False,
         seed=0,
         max_steps=-1,
+        dp=0,
+        fsdp=1,
+        tp=1,
     )
     defaults.update(diffusion_defaults())
     parser = argparse.ArgumentParser()

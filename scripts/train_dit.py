@@ -30,6 +30,22 @@ from rule_guided_music_tpu.training.train_loop import (
 from rule_guided_music_tpu.utils import logger
 
 
+def build_mesh(args):
+    """('data','fsdp','model') mesh over all devices when >1 are visible or
+    sharded axes were requested; None keeps the single-device fast path.
+    `--dp 0` (default) absorbs the remaining devices into the data axis."""
+    from rule_guided_music_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() == 1 and args.fsdp <= 1 and args.tp <= 1:
+        return None
+    mesh = make_mesh(dp=args.dp or None, fsdp=args.fsdp, tp=args.tp)
+    batch_span = mesh.shape["data"] * mesh.shape["fsdp"]
+    assert args.batch_size % batch_span == 0, (
+        f"global batch_size ({args.batch_size}) must be divisible by the "
+        f"batch-sharded mesh extent data*fsdp = {batch_span}")
+    return mesh
+
+
 def main():
     from rule_guided_music_tpu.parallel.mesh import maybe_init_distributed
 
@@ -155,6 +171,7 @@ def main():
         checkpoint_dir=os.path.join(logger.get_dir(), "checkpoints"),
         eval_fn=eval_fn,
         eval_data=eval_data,
+        mesh=build_mesh(args),
         seed=args.seed,
     )
     if args.resume_checkpoint:
@@ -215,6 +232,10 @@ def create_argparser():
         remat=False,
         optimizer="adamw",
         ema_dtype="float32",
+        # mesh factorization: dp=0 -> absorb remaining devices into 'data'
+        dp=0,
+        fsdp=1,
+        tp=1,
     )
     defaults.update(diffusion_defaults())
     parser = argparse.ArgumentParser()

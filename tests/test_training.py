@@ -382,6 +382,81 @@ def test_train_loop_mesh_sharding_applied(tables):
     assert shard.shape == (qkv.shape[0] // 2, qkv.shape[1] // 2)
 
 
+def test_train_loop_restore_preserves_sharding(tmp_path, tables):
+    """Orbax resume on a mesh TrainLoop must re-establish the pre-restore
+    NamedShardings: a bare device_put would commit every leaf to the default
+    device, silently un-FSDPing the run (ref parity: train_util.py:150-189
+    resume path under DDP keeps per-rank placement)."""
+    from jax.sharding import PartitionSpec as P
+
+    from rule_guided_music_tpu.models import DiT_models
+    from rule_guided_music_tpu.parallel.mesh import make_mesh
+    from rule_guided_music_tpu.training.train_loop import TrainLoop
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    model = DiT_models["DiTRotary_XS_8"](
+        input_size=(32, 16), in_channels=4, num_classes=3, learn_sigma=False,
+    )
+    x = jnp.zeros((8, 4, 32, 16))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "label_dropout": jax.random.PRNGKey(1)},
+        x, jnp.zeros((8,)), jnp.zeros((8,), dtype=jnp.int32), train=True,
+    )
+
+    def model_apply(p, xx, tt, yy, rng):
+        return model.apply(p, xx, tt, yy, train=True,
+                           rngs={"label_dropout": rng})
+
+    def make_loop():
+        return TrainLoop(
+            model_apply=model_apply, init_params=params, tables=tables,
+            data=None, config=TrainConfig(lr=1e-3, ema_rate=0.99),
+            mesh=mesh, checkpoint_dir=str(tmp_path),
+        )
+
+    batch = np.random.default_rng(0).normal(size=(8, 4, 32, 16)).astype(
+        np.float32)
+    cond = {"y": np.zeros((8,), np.int64)}
+    loop = make_loop()
+    loop.run_step(batch, cond)
+    loop.step = 1
+    loop.save()
+
+    loop2 = make_loop()
+    loop2.restore(str(tmp_path / "step_000001"))
+    qkv = loop2.state["params"]["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P("fsdp", "model"), qkv.sharding
+    mu = loop2.state["opt_state"][0].mu["params"]["blocks_0"]["attn"]["qkv"][
+        "kernel"]
+    assert mu.sharding.spec == P("fsdp", "model"), mu.sharding
+    # shards are truly distributed, and the restored state still steps
+    assert qkv.addressable_shards[0].data.shape == (
+        qkv.shape[0] // 2, qkv.shape[1] // 2)
+    metrics = loop2.run_step(batch, cond)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(loop2.state["step"]) == 2  # restored at 1, stepped once
+    assert loop2.resume_step == 1
+
+
+def test_build_mesh_cli_helper(monkeypatch):
+    """scripts/train_dit.build_mesh: default single-axis absorption, the
+    divisibility guard, and the single-device fast path."""
+    import argparse
+
+    from scripts.train_dit import build_mesh
+
+    ns = argparse.Namespace(dp=0, fsdp=2, tp=2, batch_size=8)
+    mesh = build_mesh(ns)
+    assert mesh.shape["data"] * mesh.shape["fsdp"] * mesh.shape["model"] \
+        == jax.device_count()
+    assert mesh.shape["fsdp"] == 2 and mesh.shape["model"] == 2
+
+    ns_bad = argparse.Namespace(dp=0, fsdp=8, tp=1, batch_size=4)
+    with pytest.raises(AssertionError, match="divisible"):
+        build_mesh(ns_bad)
+
+
 def test_lpips_module_and_converter():
     """Perceptual LPIPS (VERDICT r1 row 40): self-distance is zero, it
     responds to perturbations, and the torch-layout converter produces the
