@@ -410,6 +410,17 @@ def build(geom):
                     sampler_config=replace(feat_ddim, reuse_interval=2),
                     scoring_feature_model=feat_head,
                     scoring_denoiser_model=feat_rollout, **common)
+            # trust-but-verify prefilter (SCGConfig.prefilter): the head
+            # ranks all k=16 decode-free, the FULL decoder re-ranks the
+            # top 4 — the PRODUCTION all-rules recommendation (the pure
+            # head argmin Goodharts at k=16: docs/allrules_gate_study.json,
+            # tests/test_light_scoring_gate.py).  Decode bill k -> m.
+            pre_scg = SCGConfig(**dict(feat_scg, prefilter=4))
+            variants["ddim100_feat_roll_pre4"] = make_sample_fn(
+                tables=ddim_tables,
+                sampler_config=replace(feat_ddim, scg=pre_scg),
+                scoring_feature_model=feat_head,
+                scoring_denoiser_model=feat_rollout, **common)
 
     # unguided class-conditional sampling (BASELINE config #1 serving path)
     # with and without trajectory reuse — the lever's clean A/B
@@ -432,6 +443,24 @@ def build(geom):
             tables=dpm_tables,
             sampler_config=SamplerConfig(sampler="dpmpp"),
             **dict(common, use_decode=False))
+        # guided SCG on a 20-step STOCHASTIC SDE-DPM-Solver++ chain
+        # (sampling.py dpmpp_sde; tests/test_dpmpp_sde.py): the SDE noise
+        # scale makes the k candidates genuinely diverge, so rule-guided
+        # selection works at 20 steps — the reference's SCG exists only on
+        # 1000/100-step ancestral chains.  Ranking stack: feature head +
+        # light rollout + prefilter-4 full-decoder re-rank (the production
+        # all-rules selection config; pure head argmin Goodharts at k=16).
+        if "ddim100_feat_rollout" in variants:
+            sde_cfg = replace(
+                feat_ddim, sampler="dpmpp", dpmpp_sde=True,
+                scg=SCGConfig(**dict(feat_scg, prefilter=4)),
+                guidance=GuidanceConfig(
+                    method="classifier_guidance", schedule=True,
+                    t_start=20, t_end=0, interval=1))
+            variants["dpmpp20_sde_feat_pre4"] = make_sample_fn(
+                tables=dpm_tables, sampler_config=sde_cfg,
+                scoring_feature_model=feat_head,
+                scoring_denoiser_model=feat_rollout, **common)
 
     rules = geom.rules()
     y = jnp.ones((batch,), dtype=jnp.int32)
@@ -518,8 +547,12 @@ VARIANT_SPECS = [
      "ddim_per_min", "ddim", False, 90),
     ("ddim100_feat_rollout", "ddim100+feat-head+light-rollout",
      "ddim_feat_rollout_per_min", "ddim", False, 90),
+    ("ddim100_feat_roll_pre4", "ddim100+feat+rollout+prefilter4",
+     "ddim_feat_roll_pre4_per_min", "ddim", False, 90),
     ("ddim100_feat_rollout_reuse2", "ddim100+feat-head+light-rollout+reuse2",
      "ddim_feat_rollout_reuse_per_min", "ddim_half", False, 90),
+    ("dpmpp20_sde_feat_pre4", "guided SCG dpmpp20-SDE+feat+rollout+pre4",
+     "dpmpp_sde_scg_per_min", 20, False, 90),
     ("ddim100_feat", "ddim100+feat-head",
      "ddim_feat_per_min", "ddim", False, 90),
     ("unguided_dpmpp20", "unguided dpmpp20",
@@ -610,7 +643,9 @@ def _run(budget_s, tiny):
         "feat_per_min": None,
         "ddim_feat_per_min": None,
         "ddim_feat_rollout_per_min": None,
+        "ddim_feat_roll_pre4_per_min": None,
         "ddim_feat_rollout_reuse_per_min": None,
+        "dpmpp_sde_scg_per_min": None,
         "unguided_per_min": None,
         "unguided_reuse_per_min": None,
         "unguided_dpmpp_per_min": None,
@@ -651,10 +686,18 @@ def _run(budget_s, tiny):
             extras.append(
                 "ddim100_feat_rollout="
                 f"{state['ddim_feat_rollout_per_min']:.3f}/min")
+        if state["ddim_feat_roll_pre4_per_min"] is not None:
+            extras.append(
+                "ddim100_feat_roll_pre4="
+                f"{state['ddim_feat_roll_pre4_per_min']:.3f}/min")
         if state["ddim_feat_rollout_reuse_per_min"] is not None:
             extras.append(
                 "ddim100_feat_rollout_reuse2="
                 f"{state['ddim_feat_rollout_reuse_per_min']:.3f}/min")
+        if state["dpmpp_sde_scg_per_min"] is not None:
+            extras.append(
+                "dpmpp20_sde_feat_pre4="
+                f"{state['dpmpp_sde_scg_per_min']:.3f}/min")
         if state["unguided_per_min"] is not None:
             extras.append(
                 f"unguided_ddim100={state['unguided_per_min']:.1f}/min")

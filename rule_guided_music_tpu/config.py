@@ -176,6 +176,9 @@ def sampler_config_from_yaml(
         sampler=sampler,
         eta=1.0,
         dpmpp_order=int(2 if dpmpp_order is None else dpmpp_order),
+        # beyond-reference: stochastic SDE-DPM-Solver++ — enables SCG on
+        # 10-20 step chains (sampling.dpmpp_sde in the YAML; docs/PERF.md)
+        dpmpp_sde=bool(_ns_get(sampling_ns, "dpmpp_sde", False)),
         var_type=(gd.ModelVarType.LEARNED_RANGE if learn_sigma
                   else gd.ModelVarType.FIXED_LARGE),
         clip_denoised=False,

@@ -91,9 +91,20 @@ class SamplerConfig:
     # through the scan carry for a second-order update at the same model
     # cost per step — 10-20 steps match many-step DDIM trajectories on the
     # probability-flow ODE. Deterministic, so incompatible with SCG (all k
-    # candidates would coincide); classifier guidance applies in eps space
-    # exactly as in the DDIM branch.
+    # candidates would coincide) unless dpmpp_sde below is set; classifier
+    # guidance applies in eps space exactly as in the DDIM branch.
     dpmpp_order: int = 2            # 1 | 2 (sampler == "dpmpp" only)
+    # SDE-DPM-Solver++ (arXiv 2211.01095 app. SDE variant; diffusers'
+    # "sde-dpmsolver++"): the same exponential integrator in x̂0 space but
+    # discretizing the reverse-time SDE instead of the probability-flow
+    # ODE — the drift contracts x_t by e^{−h} and each step injects fresh
+    # noise with σ_{t-1}·sqrt(1 − e^{−2h}), preserving the exact reverse
+    # marginals (pinned distributionally in tests/test_dpmpp_sde.py). The
+    # stochastic step makes the k SCG candidates genuinely diverge, so
+    # rule-guided SCG selection works on a 10-20 step chain — the
+    # reference's SCG exists only on 1000/100-step ancestral chains
+    # (gaussian_diffusion.py:491-592).
+    dpmpp_sde: bool = False
     mean_type: gd.ModelMeanType = gd.ModelMeanType.EPSILON
     var_type: gd.ModelVarType = gd.ModelVarType.FIXED_LARGE
     clip_denoised: bool = False
@@ -527,12 +538,18 @@ def sample_loop(
         )
     if config.sampler not in ("ddpm", "ddim", "dpmpp"):
         raise ValueError(f"unknown sampler {config.sampler!r}")
-    if config.sampler == "dpmpp" and config.scg is not None:
+    if (config.sampler == "dpmpp" and config.scg is not None
+            and not config.dpmpp_sde):
         raise ValueError(
-            "SCG requires a stochastic sampler (ddpm, or ddim with eta > 0): "
-            "DPM-Solver++ is a deterministic ODE sampler, so all k SCG "
-            "candidates would coincide; use sampler='ddim' for guided SCG "
-            "chains and reserve dpmpp for unguided/CFG/classifier-guided runs"
+            "SCG requires a stochastic sampler (ddpm, ddim with eta > 0, or "
+            "dpmpp with dpmpp_sde=True): the deterministic DPM-Solver++ ODE "
+            "makes all k SCG candidates coincide; set dpmpp_sde=True for "
+            "few-step rule-guided SCG chains"
+        )
+    if config.dpmpp_sde and config.sampler != "dpmpp":
+        raise ValueError(
+            "dpmpp_sde=True only applies to sampler='dpmpp' "
+            f"(got sampler={config.sampler!r})"
         )
     if config.sampler == "dpmpp" and config.dpmpp_order not in (1, 2):
         raise ValueError(
@@ -694,14 +711,25 @@ def sample_loop(
                     d2 = (1.0 + corr) * pred_xstart - corr * carry["prev_x0"]
                     use2 = (pos > 0) & (t_scalar != scan_end)
                     d_bar = jnp.where(use2, d2, pred_xstart)
-                base_mean = ((sigma_p / sigma_t) * x
-                             - alpha_p * jnp.expm1(-h) * d_bar)
-                g_coeff = jnp.zeros_like(sigma_p)
+                if config.dpmpp_sde:
+                    # SDE-DPM-Solver++: same exponential integrator applied
+                    # to the reverse SDE — the x_t term contracts by e^{−h}
+                    # and the matching fresh-noise scale σ_{t-1}·√(1−e^{−2h})
+                    # keeps the per-step transition kernel exact for linear
+                    # (constant-x̂0) models. Note 1−e^{−2h} = −expm1(−2h).
+                    one_m_e2h = -jnp.expm1(-2.0 * h)
+                    base_mean = ((sigma_p / sigma_t) * jnp.exp(-h) * x
+                                 + alpha_p * one_m_e2h * d_bar)
+                    g_coeff = sigma_p * jnp.sqrt(one_m_e2h)
+                else:
+                    base_mean = ((sigma_p / sigma_t) * x
+                                 - alpha_p * jnp.expm1(-h) * d_bar)
+                    g_coeff = jnp.zeros_like(sigma_p)
                 dpmpp_state = (pred_xstart.astype(x.dtype),
                                lam_t.astype(jnp.float32))
 
         # --- next-state sampling (plain vs SCG search) --------------------
-        if config.sampler == "dpmpp":
+        if config.sampler == "dpmpp" and not config.dpmpp_sde:
             # deterministic ODE step: g_coeff is structurally zero — skip
             # the full-state normal sample (XLA won't fold x*0 to 0)
             plain_sample = base_mean
@@ -710,6 +738,9 @@ def sample_loop(
             if config.sampler == "ddpm":
                 nonzero = (t_scalar > config.t_end).astype(x.dtype)
             else:
+                # ddim / sde-dpmpp: at the boundary step the bare mean is
+                # returned (for sde-dpmpp the σ_p clamp already drives
+                # g_coeff to ~1e-12 there; the mask makes it exact).
                 nonzero = (t_scalar != config.t_end).astype(x.dtype)
             plain_sample = base_mean + nonzero * g_coeff * plain_noise
 

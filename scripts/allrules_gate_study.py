@@ -64,7 +64,7 @@ K = 16
 RULES = ("pitch_hist", "note_density", "chord_progression")
 WEIGHTS = (("pitch_hist", 40.0), ("note_density", 1.0),
            ("chord_progression", 1.0))
-SEEDS = (0, 1)
+SEEDS = (0, 1, 2, 3)
 
 
 ALL_VARIANTS = ("plain", "full", "light_dec", "feat", "feat_roll",
@@ -174,19 +174,30 @@ def main():
 
     out_path = os.path.join(REPO, "docs", "allrules_gate_study.json")
     results = {}
+    per_seed = {}
     prior = {}
     if args.merge and os.path.exists(out_path):
         with open(out_path) as f:
             prior = json.load(f)
         results.update(prior.get("final_losses", {}))
+        per_seed.update(prior.get("per_seed", {}))
     for name, run in runs.items():
         t0 = time.perf_counter()
         per_rule = {r: 0.0 for r in RULES}
+        per_seed[name] = {}
         for seed in SEEDS:
             roll = decode(run(jax.random.PRNGKey(seed)))
+            seed_losses = {}
             for r in RULES:
                 gen = FUNC_DICT[r](roll)
-                per_rule[r] += float(LOSS_DICT[r](gen, targets[r]).mean())
+                v = float(LOSS_DICT[r](gen, targets[r]).mean())
+                per_rule[r] += v
+                seed_losses[r] = v
+            seed_losses["weighted"] = sum(
+                seed_losses[r] * dict(WEIGHTS)[r] for r in RULES)
+            per_seed[name][str(seed)] = seed_losses
+            print(f"  {name} seed {seed}: weighted="
+                  f"{seed_losses['weighted']:.4f}", flush=True)
         per_rule = {r: v / len(SEEDS) for r, v in per_rule.items()}
         per_rule["weighted"] = sum(per_rule[r] * dict(WEIGHTS)[r]
                                    for r in RULES)
@@ -199,7 +210,8 @@ def main():
     if args.skip_regret:
         reg_summary = prior.get("norm_regret", {})
         with open(out_path, "w") as f:
-            json.dump({"final_losses": results, "norm_regret": reg_summary,
+            json.dump({"final_losses": results, "per_seed": per_seed,
+                       "norm_regret": reg_summary,
                        "k": K, "weights": dict(WEIGHTS),
                        "seeds": list(SEEDS)}, f, indent=2)
         print(f"wrote {out_path} (regret carried over)")
@@ -270,7 +282,8 @@ def main():
             f"{k}={v:.3f}" for k, v in reg_summary[tag].items()), flush=True)
 
     with open(out_path, "w") as f:
-        json.dump({"final_losses": results, "norm_regret": reg_summary,
+        json.dump({"final_losses": results, "per_seed": per_seed,
+                   "norm_regret": reg_summary,
                    "k": K, "weights": dict(WEIGHTS), "seeds": list(SEEDS)},
                   f, indent=2)
     print(f"wrote {out_path}")

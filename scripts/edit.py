@@ -131,7 +131,7 @@ def main():
                 + f"_cls_{args.class_label}")
     logger.configure(args=args)
     config = load_config(args.config_path)
-    if config.sampling.use_ddim:
+    if getattr(config.sampling, "use_ddim", False):
         args.timestep_respacing = getattr(
             config.sampling, "timestep_respacing", args.timestep_respacing
         )

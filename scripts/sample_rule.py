@@ -49,7 +49,7 @@ def main():
 
     logger.configure(args=args)
     config = load_config(args.config_path)
-    if config.sampling.use_ddim:
+    if getattr(config.sampling, "use_ddim", False):
         args.timestep_respacing = getattr(
             config.sampling, "timestep_respacing", args.timestep_respacing
         )
@@ -104,7 +104,7 @@ def main():
 
     # --- generation geometry (plain vs DiffCollage) ----------------------
     collage = None
-    if config.sampling.diff_collage:
+    if getattr(config.sampling, "diff_collage", False):
         from rule_guided_music_tpu.diffusion.collage import (
             circle_length,
             linear_length,
