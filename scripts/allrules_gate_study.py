@@ -207,13 +207,22 @@ def main():
             + f"   ({time.perf_counter()-t0:.0f}s)", flush=True)
 
     # --- per-rule candidate regret at guided steps (k=16) -----------------
+    # --merge can carry over variants averaged under a DIFFERENT seed set;
+    # record each variant's actual seed coverage (derived from per_seed)
+    # instead of claiming the current SEEDS for all of them.
+    def seeds_per_variant():
+        return {name: sorted(int(s) for s in per_seed.get(name, {}))
+                for name in results}
+
     if args.skip_regret:
         reg_summary = prior.get("norm_regret", {})
         with open(out_path, "w") as f:
             json.dump({"final_losses": results, "per_seed": per_seed,
                        "norm_regret": reg_summary,
                        "k": K, "weights": dict(WEIGHTS),
-                       "seeds": list(SEEDS)}, f, indent=2)
+                       "seeds_this_run": list(SEEDS),
+                       "seeds_per_variant": seeds_per_variant()},
+                      f, indent=2)
         print(f"wrote {out_path} (regret carried over)")
         return
 
@@ -284,7 +293,9 @@ def main():
     with open(out_path, "w") as f:
         json.dump({"final_losses": results, "per_seed": per_seed,
                    "norm_regret": reg_summary,
-                   "k": K, "weights": dict(WEIGHTS), "seeds": list(SEEDS)},
+                   "k": K, "weights": dict(WEIGHTS),
+                   "seeds_this_run": list(SEEDS),
+                   "seeds_per_variant": seeds_per_variant()},
                   f, indent=2)
     print(f"wrote {out_path}")
 

@@ -73,7 +73,7 @@ def build_dataset(workdir: str, n_train: int, n_eval: int, roll_len: int):
     return manifests
 
 
-def extract_vae(workdir: str) -> str:
+def extract_vae(workdir: str) -> "tuple[str, float]":
     """The learned tiny VAE from the committed quality fixture."""
     data = np.load(os.path.join(REPO, "tests", "fixtures", "quality_tiny.npz"))
     out = os.path.join(workdir, "vae.npz")
