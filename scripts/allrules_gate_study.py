@@ -68,7 +68,12 @@ SEEDS = (0, 1, 2, 3)
 
 
 ALL_VARIANTS = ("plain", "full", "light_dec", "feat", "feat_roll",
-                "feat_pre4_light", "feat_pre4_full", "feat_pre4_roll_light")
+                "feat_pre4_light", "feat_pre4_full", "feat_pre4_roll_light",
+                # bench.py's dpmpp20_sde_feat_pre4 serving row, gated at the
+                # same operating point: SDE-DPM-Solver++ chains (ancestral
+                # noise keeps the k candidates distinct) with no SCG, full-
+                # decoder SCG, and the production substitute stack
+                "sde_plain", "sde_full", "sde_feat_pre4_roll_light")
 
 
 def main():
@@ -133,11 +138,16 @@ def main():
     print("targets:", {k: (v.shape, str(v.dtype)) for k, v in targets.items()},
           flush=True)
 
-    cfg_plain = SamplerConfig(sampler="ddpm")
+    def cfg_base(sde):
+        return dict(sampler="dpmpp", dpmpp_sde=True) if sde else dict(
+            sampler="ddpm")
 
-    def cfg_scg(prefilter=0):
+    def cfg_plain(sde=False):
+        return SamplerConfig(**cfg_base(sde))
+
+    def cfg_scg(prefilter=0, sde=False):
         return SamplerConfig(
-            sampler="ddpm",
+            **cfg_base(sde),
             guidance=GuidanceConfig(method="no_guidance", schedule=True,
                                     t_start=tables.num_timesteps, t_end=0),
             scg=SCGConfig(num_samples=K, weights=WEIGHTS,
@@ -145,8 +155,9 @@ def main():
         )
 
     def make_run(decode_fn=None, scoring_model_fn=None,
-                 scoring_feature_fn=None, plain=False, prefilter=0):
-        cfg = cfg_plain if plain else cfg_scg(prefilter)
+                 scoring_feature_fn=None, plain=False, prefilter=0,
+                 sde=False):
+        cfg = cfg_plain(sde) if plain else cfg_scg(prefilter, sde)
         return jax.jit(lambda r: sample_loop(
             r, model_fn, SHAPE, tables, cfg, rules=targets,
             decode_fn=decode_fn, scoring_model_fn=scoring_model_fn,
@@ -169,6 +180,11 @@ def main():
         "feat_pre4_roll_light": lambda: make_run(
             scoring_feature_fn=feature_fn, decode_fn=light_decode,
             scoring_model_fn=rollout_fn, prefilter=4),
+        "sde_plain": lambda: make_run(plain=True, sde=True),
+        "sde_full": lambda: make_run(decode_fn=decode, sde=True),
+        "sde_feat_pre4_roll_light": lambda: make_run(
+            scoring_feature_fn=feature_fn, decode_fn=light_decode,
+            scoring_model_fn=rollout_fn, prefilter=4, sde=True),
     }
     runs = {name: runs_all[name]() for name in ALL_VARIANTS if name in want}
 
