@@ -33,11 +33,31 @@ from rule_guided_music_tpu.utils import logger
 def build_mesh(args):
     """('data','fsdp','model') mesh over all devices when >1 are visible or
     sharded axes were requested; None keeps the single-device fast path.
-    `--dp 0` (default) absorbs the remaining devices into the data axis."""
+    `--dp 0` (default) absorbs the remaining devices into the data axis.
+
+    Auto mode (no explicit --dp/--fsdp/--tp) must never reject a config the
+    single-device path would accept: when the global batch does not divide
+    over all visible devices (e.g. a 4-excerpt smoke batch on the 8-device
+    virtual test mesh), it data-parallelizes over the largest device prefix
+    whose size divides the batch instead of asserting.
+    """
     from rule_guided_music_tpu.parallel.mesh import make_mesh
 
-    if jax.device_count() == 1 and args.fsdp <= 1 and args.tp <= 1:
+    explicit = args.dp > 0 or args.fsdp > 1 or args.tp > 1
+    n = jax.device_count()
+    if n == 1 and not explicit:
         return None
+    if not explicit:
+        use = max(d for d in range(1, n + 1) if args.batch_size % d == 0)
+        if use == 1:
+            logger.log(f"build_mesh: batch_size {args.batch_size} has no "
+                       f"divisor <= {n} devices > 1; single-device run")
+            return None
+        if use < n:
+            logger.log(f"build_mesh: batch_size {args.batch_size} not "
+                       f"divisible by {n} devices; data-parallel over "
+                       f"{use} of them")
+        return make_mesh(dp=use, devices=jax.devices()[:use])
     mesh = make_mesh(dp=args.dp or None, fsdp=args.fsdp, tp=args.tp)
     batch_span = mesh.shape["data"] * mesh.shape["fsdp"]
     assert args.batch_size % batch_span == 0, (
