@@ -297,6 +297,32 @@ def test_endorsed_variants_no_rule_collapse(study):
             assert fl[v][r] < 1.25 * plain[r] + floor[r], (v, r, fl)
 
 
+def test_sde_serving_row_quality(study):
+    """Quality gate for the bench dpmpp20_sde_feat_pre4 serving row at the
+    matched 16-step operating point (sde_* study rows): ancestral
+    SDE-DPM-Solver++ chains without guidance are far off-target at few
+    steps (39.1 weighted vs ddpm plain 6.12), SCG recovers a ~3x win
+    (sde_full 13.7), and the production substitute stack matches
+    full-decoder SCG under SDE (11.6).  Absolute few-step SDE losses stay
+    above the DDPM-chain level — the row is a speed/quality trade, which
+    this gate states rather than hides."""
+    fl = study["final_losses"]
+    if "sde_plain" not in fl:
+        pytest.skip("sde study rows not present — run "
+                    "scripts/allrules_gate_study.py --variants "
+                    "sde_plain,sde_full,sde_feat_pre4_roll_light --merge")
+    sde_plain = fl["sde_plain"]["weighted"]
+    assert fl["sde_full"]["weighted"] < 0.4 * sde_plain, fl
+    assert fl["sde_feat_pre4_roll_light"]["weighted"] < 0.4 * sde_plain, fl
+    # the substitute stack does not degrade on full-decoder SCG under SDE
+    assert fl["sde_feat_pre4_roll_light"]["weighted"] \
+        <= 1.05 * fl["sde_full"]["weighted"], fl
+    # honest trade-off pin: few-step SDE guided quality is WORSE than the
+    # ddpm-chain stacks; if this ever flips, the endorsement docs are stale
+    assert fl["sde_feat_pre4_roll_light"]["weighted"] \
+        > fl["feat_pre4_roll_light"]["weighted"], fl
+
+
 def test_study_regret_recorded(study):
     """The study's selected-candidate regret (weighted, normalized by
     candidate spread) stays far below chance (0.5) for both substitutes;
