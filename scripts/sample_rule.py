@@ -49,7 +49,12 @@ def main():
 
     logger.configure(args=args)
     config = load_config(args.config_path)
-    if getattr(config.sampling, "use_ddim", False):
+    # YAML respacing applies to any non-ancestral sampler config: the
+    # reference only reads it for use_ddim (sample_rule.py:78-81 upstream),
+    # but the beyond-reference dpmpp/dpmpp-SDE serving configs
+    # (scripts/configs_serving/) carry their few-step budget the same way.
+    if getattr(config.sampling, "use_ddim", False) or \
+            str(getattr(config.sampling, "sampler", "") or "") == "dpmpp":
         args.timestep_respacing = getattr(
             config.sampling, "timestep_respacing", args.timestep_respacing
         )
